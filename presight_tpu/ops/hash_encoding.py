@@ -1,0 +1,162 @@
+"""Multi-resolution hash-grid encoding (Instant-NGP), TPU-native.
+
+Functional spec: the reference uses tiny-cuda-nn's HashGrid
+(nerfstudio-0.3.3/nerfstudio/field_components/encodings.py:251-389, default
+``tcnn+fp32``); the pure-torch fallback at encodings.py:324-384 is the precise
+per-element formula we reproduce:
+
+  * per-level resolutions: floor(min_res * growth**level) with
+    growth = exp((ln max_res - ln min_res) / (L - 1))
+  * spatial hash of integer corner (x, y, z):
+    (x * 1) XOR (y * 2654435761) XOR (z * 805459861)  mod  table_size,
+    plus level * table_size offset
+  * trilinear interpolation over the 8 (ceil/floor) corners with weight
+    ``offset`` on the ceil corner per axis, offset = scaled - floor(scaled).
+
+Design notes (TPU):
+  * The whole encoder is a single fused gather over one flat table; a
+    leading *expert* axis for the multi-scene router folds into the same
+    gather (index = expert*L*T + level*T + hash), so spatial model
+    parallelism costs nothing extra here.
+  * Hash arithmetic runs in uint32. Because table_size divides 2^32 and both
+    XOR's low bits and products mod 2^k depend only on the operands' low
+    bits, uint32 wraparound gives results identical to the reference's int64
+    math modulo the table size.
+  * Gradients (scatter-add into the table) are handled by XLA's gather
+    transpose; a Pallas kernel backs the hot path when profitable (see
+    presight_tpu/ops/pallas/hash_kernel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HASH_PRIMES = (1, 2654435761, 805459861)
+
+# The 8 trilerp corners in the reference's enumeration order
+# (encodings.py:352-360): bit=1 selects ceil for that axis.
+_CORNER_BITS = np.array(
+    [
+        [1, 1, 1],  # h0: (cx, cy, cz)
+        [1, 0, 1],  # h1: (cx, fy, cz)
+        [0, 0, 1],  # h2: (fx, fy, cz)
+        [0, 1, 1],  # h3: (fx, cy, cz)
+        [1, 1, 0],  # h4: (cx, cy, fz)
+        [1, 0, 0],  # h5: (cx, fy, fz)
+        [0, 0, 0],  # h6: (fx, fy, fz)
+        [0, 1, 0],  # h7: (fx, cy, fz)
+    ],
+    dtype=np.int32,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashEncodingConfig:
+    """Static hash-grid hyperparameters (shapes must be trace-constant)."""
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 1024
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    hash_init_scale: float = 1e-4  # tcnn init; torch fallback uses 1e-3
+
+    @property
+    def table_size(self) -> int:
+        return 2 ** self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    def scalings(self) -> np.ndarray:
+        """Per-level grid resolutions (float), matching encodings.py:281-284."""
+        levels = np.arange(self.num_levels)
+        if self.num_levels > 1:
+            growth = np.exp(
+                (np.log(self.max_res) - np.log(self.min_res)) / (self.num_levels - 1)
+            )
+        else:
+            growth = 1.0
+        return np.floor(self.min_res * growth ** levels).astype(np.float32)
+
+
+def init_hash_table(
+    key: jax.Array, config: HashEncodingConfig, num_experts: int = 1, dtype=jnp.float32
+) -> jnp.ndarray:
+    """U(-s, s) init of the flat table, shape (E * L * T, F).
+
+    tcnn initializes U(-1e-4, 1e-4); the torch fallback uses U(-1e-3, 1e-3)
+    (encodings.py:313-316). ``hash_init_scale`` selects.
+    """
+    n = num_experts * config.num_levels * config.table_size
+    u = jax.random.uniform(key, (n, config.features_per_level), dtype=dtype)
+    return (u * 2.0 - 1.0) * config.hash_init_scale
+
+
+def _hash_corners(corners: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Spatial-hash int32 corner coords (..., 3) -> flat index (...,).
+
+    uint32 wraparound arithmetic; result in [0, table_size).
+    """
+    c = corners.astype(jnp.uint32)
+    h = (
+        c[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+        ^ c[..., 1] * jnp.uint32(_HASH_PRIMES[1])
+        ^ c[..., 2] * jnp.uint32(_HASH_PRIMES[2])
+    )
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def hash_encode(
+    table: jnp.ndarray,
+    positions: jnp.ndarray,
+    config: HashEncodingConfig,
+    expert_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Hash-grid lookup + trilinear interpolation.
+
+    Args:
+      table: (E * L * T, F) flat feature table (E=1 when unrouted).
+      positions: (..., 3) in [0, 1].
+      config: static hyperparameters.
+      expert_ids: optional (...,) int32 expert assignment; selects the
+        expert's slab of the table. None means single-expert table.
+
+    Returns:
+      (..., L * F) encoded features, positions' dtype.
+    """
+    L = config.num_levels
+    T = config.table_size
+    F = config.features_per_level
+
+    scalings = jnp.asarray(config.scalings())  # (L,)
+    scaled = positions[..., None, :] * scalings[:, None]  # (..., L, 3)
+    scaled_f = jnp.floor(scaled)
+    offset = (scaled - scaled_f).astype(positions.dtype)  # (..., L, 3)
+    fl = scaled_f.astype(jnp.int32)
+    ce = jnp.ceil(scaled).astype(jnp.int32)
+
+    corner_bits = jnp.asarray(_CORNER_BITS)  # (8, 3)
+    # (..., L, 8, 3): pick ceil where bit==1 else floor.
+    corners = jnp.where(corner_bits[None, :, :] == 1, ce[..., None, :], fl[..., None, :])
+
+    idx = _hash_corners(corners, T)  # (..., L, 8)
+    level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]  # (L, 1)
+    idx = idx + level_offset
+    if expert_ids is not None:
+        idx = idx + (expert_ids.astype(jnp.int32) * (L * T))[..., None, None]
+
+    feats = table[idx]  # (..., L, 8, F)
+    feats = feats.astype(positions.dtype)
+
+    # Trilerp: weight = prod over axes of (offset if ceil else 1-offset).
+    w = jnp.where(corner_bits[None, :, :] == 1, offset[..., None, :], 1.0 - offset[..., None, :])
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # (..., L, 8)
+    out = jnp.sum(feats * w[..., None], axis=-2)  # (..., L, F)
+    return out.reshape(*out.shape[:-2], L * F)

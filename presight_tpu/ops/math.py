@@ -1,0 +1,156 @@
+"""Core pointwise math used across fields and renderers.
+
+Functional specs derived from the reference implementation (cited per
+function); everything here is pure jnp and safe under jit/vmap/grad.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    """exp with a clamped backward pass.
+
+    Forward ``exp(x)``; backward ``g * exp(clamp(x, -15, 15))``. Prevents
+    exploding gradients from large density logits.
+
+    Reference spec: nerfstudio-0.3.3/nerfstudio/field_components/activations.py:14-40.
+    """
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+def contract_linf(x: jnp.ndarray) -> jnp.ndarray:
+    """MipNeRF-360 scene contraction with the L-infinity norm.
+
+    f(x) = x                      if ||x||_inf <= 1
+         = (2 - 1/||x||) * x/||x|| otherwise
+
+    Maps all of space into a cube of side 4 ([-2, 2]^3).
+
+    Reference spec:
+    nerfstudio-0.3.3/nerfstudio/field_components/spatial_distortions.py:42-90
+    (order=inf as used by the PreSight model).
+    """
+    mag = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    # Guard the division for mag ~ 0 (inside the unit cube the branch is unused).
+    safe_mag = jnp.maximum(mag, 1e-12)
+    contracted = (2.0 - 1.0 / safe_mag) * (x / safe_mag)
+    return jnp.where(mag < 1.0, x, contracted)
+
+
+def normalize_aabb(positions: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
+    """Normalize world positions into the AABB frame, output in [-1, 1].
+
+    ``aabb`` is (..., 2, 3) with [min, max] rows; broadcasting against
+    positions (..., 3) is supported (per-sample AABBs for expert routing).
+
+    Reference spec: nerfstudio-0.3.3/nerfstudio/fields/PreSight/utils.py:6-10.
+    """
+    aabb_min = aabb[..., 0, :]
+    aabb_max = aabb[..., 1, :]
+    positions = (positions - aabb_min) / (aabb_max - aabb_min)
+    return positions * 2.0 - 1.0
+
+
+def contract_positions(positions: jnp.ndarray, aabb: jnp.ndarray):
+    """AABB-normalize -> L-inf contraction -> map [-2,2] to [0,1], with the
+    out-of-range selector that zeroes coordinates outside (0, 1).
+
+    Returns (unit_positions, selector) where selector is (...,) bool.
+
+    Reference spec: nerfstudio-0.3.3/nerfstudio/fields/PreSight/ingp_field.py:168-191
+    (density_fn normalization path shared by all PreSight fields).
+    """
+    positions = normalize_aabb(positions, aabb)
+    positions = contract_linf(positions)
+    positions = (positions + 2.0) / 4.0
+    selector = jnp.all((positions > 0.0) & (positions < 1.0), axis=-1)
+    positions = positions * selector[..., None]
+    return positions, selector
+
+
+def normalize_directions(directions: jnp.ndarray) -> jnp.ndarray:
+    """Shift unit directions from [-1, 1] to [0, 1] for the SH encoder.
+
+    Reference spec: nerfstudio-0.3.3/nerfstudio/fields/base_field.py:136-142.
+    """
+    return (directions + 1.0) / 2.0
+
+
+def sh_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
+    """Real spherical-harmonics basis up to ``levels`` (levels**2 components).
+
+    Pass *unit* directions in [-1, 1]. Note: the reference default backend is
+    tcnn's SH encoding, which takes the [0,1]-shifted directions from
+    get_normalized_directions and internally maps them back to [-1,1] before
+    evaluating the polynomial — so the polynomial is evaluated on true unit
+    directions. We follow the tcnn (deployed) semantics; callers feed raw
+    unit directions and skip the [0,1] shift. (The nerfstudio torch fallback
+    evaluates the polynomial on the shifted values instead — an upstream
+    inconsistency we do not reproduce.)
+
+    Reference spec: nerfstudio-0.3.3/nerfstudio/utils/math.py:27-100,
+    encodings.py:686-718.
+    """
+    if not 1 <= levels <= 4:
+        raise ValueError(f"SH levels must be in [1, 4], got {levels}")
+    x = directions[..., 0]
+    y = directions[..., 1]
+    z = directions[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+
+    comps = [jnp.full(x.shape, 0.28209479177387814, dtype=directions.dtype)]
+    if levels > 1:
+        comps += [
+            0.4886025119029199 * y,
+            0.4886025119029199 * z,
+            0.4886025119029199 * x,
+        ]
+    if levels > 2:
+        comps += [
+            1.0925484305920792 * x * y,
+            1.0925484305920792 * y * z,
+            0.9461746957575601 * zz - 0.31539156525251999,
+            1.0925484305920792 * x * z,
+            0.5462742152960396 * (xx - yy),
+        ]
+    if levels > 3:
+        comps += [
+            0.5900435899266435 * y * (3 * xx - yy),
+            2.890611442640554 * x * y * z,
+            0.4570457994644658 * y * (5 * zz - 1),
+            0.3731763325901154 * z * (5 * zz - 3),
+            0.4570457994644658 * x * (5 * zz - 1),
+            1.445305721320277 * z * (xx - yy),
+            0.5900435899266435 * x * (xx - 3 * yy),
+        ]
+    return jnp.stack(comps, axis=-1)
+
+
+def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Shape-stable replacement for ``values[mask].mean()``.
+
+    The reference relies on boolean indexing (dynamic shapes); under jit we
+    compute sum(mask * values) / sum(mask) instead. ``mask`` broadcasts
+    against ``values``; the denominator counts broadcast elements so the
+    result matches the dynamic-shape mean exactly.
+    """
+    mask = mask.astype(values.dtype)
+    mask_b = jnp.broadcast_to(mask, values.shape)
+    total = jnp.sum(values * mask_b)
+    count = jnp.sum(mask_b)
+    return total / jnp.maximum(count, eps)
