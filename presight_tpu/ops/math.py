@@ -141,6 +141,23 @@ def sh_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
     return jnp.stack(comps, axis=-1)
 
 
+def searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "right") -> jnp.ndarray:
+    """Batched searchsorted: ``a`` (..., M) sorted along the last axis,
+    ``v`` (..., K); returns int32 insertion indices in [0, M].
+
+    jnp.searchsorted only supports 1-D ``a``; for the row counts used here
+    (M ~ 65-130 bins) an all-pairs comparison is both simplest and fastest on
+    the TPU VPU (it is what jnp's method='compare_all' lowers to).
+    """
+    if side == "right":
+        mask = a[..., :, None] <= v[..., None, :]
+    elif side == "left":
+        mask = a[..., :, None] < v[..., None, :]
+    else:
+        raise ValueError(f"invalid side {side!r}")
+    return jnp.sum(mask, axis=-2).astype(jnp.int32)
+
+
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Shape-stable replacement for ``values[mask].mean()``.
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .math import searchsorted
 from .rays import RaySamples
 
 
@@ -39,7 +40,7 @@ def render_depth_median(
     steps = ray_samples.steps()  # (R, S)
     cumulative = jnp.cumsum(weights, axis=-1)
     split = jnp.full((*weights.shape[:-1], 1), threshold, dtype=weights.dtype)
-    idx = jnp.searchsorted(cumulative, split, side="left", method="compare_all")
+    idx = searchsorted(cumulative, split, side="left")
     idx = jnp.clip(idx, 0, steps.shape[-1] - 1)
     return jnp.take_along_axis(steps, idx, axis=-1)[..., 0]
 

@@ -22,6 +22,7 @@ from typing import Callable, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .math import searchsorted
 from .rays import RayBundle, RaySamples, get_weights
 
 
@@ -149,7 +150,7 @@ def pdf_sample(
         [ray_samples.spacing_starts, ray_samples.spacing_ends[..., -1:]], axis=-1
     )  # (R, S_prev+1)
 
-    inds = jnp.searchsorted(cdf, u, side="right", method="compare_all")
+    inds = searchsorted(cdf, u, side="right")
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
     cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)

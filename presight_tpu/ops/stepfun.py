@@ -16,6 +16,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .math import searchsorted
 from .rays import RaySamples
 
 
@@ -58,10 +59,10 @@ def outer(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
     idx_lo = (
-        jnp.searchsorted(t1_starts, t0_starts, side="right", method="compare_all") - 1
+        searchsorted(t1_starts, t0_starts, side="right") - 1
     )
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = jnp.searchsorted(t1_ends, t0_ends, side="right", method="compare_all")
+    idx_hi = searchsorted(t1_ends, t0_ends, side="right")
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
     cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
