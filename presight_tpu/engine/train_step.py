@@ -1,0 +1,107 @@
+"""The jitted training step.
+
+Reference spec: nerfstudio-0.3.3/nerfstudio/engine/trainer.py:462-511
+(train_iteration: forward -> loss -> backward -> optimizer/scheduler step)
+plus pipelines/PreSight/my_pipeline.py:126-170 (batch -> rays -> model ->
+losses). On TPU the whole iteration is one XLA program: ray generation,
+proposal sampling, field evaluation, rendering, losses, backward, and the
+optax update all fuse under a single jit. AMP + GradScaler
+(trainer.py:475-505) have no TPU equivalent needed — compute is fp32/bf16
+with fp32 state, and no inf-scan is required.
+
+Two step variants are compiled, selected by the host-side proposal update
+schedule (stop_prop_grad True/False), mirroring ray_samplers.py:586-599.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.cameras import CameraParams, generate_rays
+from ..models.nerfacto_ms import NerfactoNuscMSConfig, compute_losses, forward
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray  # () int32
+
+
+class StepScalars(NamedTuple):
+    """Host-computed schedule values fed to the device each step."""
+
+    anneal: jnp.ndarray  # () f32
+    sigma: jnp.ndarray  # () f32 line-of-sight sigma
+    los_mult: jnp.ndarray  # () f32 line-of-sight multiplier
+
+
+def _psnr(mse: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
+
+def make_train_step(
+    config: NerfactoNuscMSConfig,
+    tx: optax.GradientTransformation,
+    stop_prop_grad: bool,
+    donate: bool = True,
+):
+    """Build one jitted train-step variant.
+
+    Signature: (state, cameras, batch, rng, scalars) -> (state, metrics).
+    ``batch`` must contain 'ray_index' (R,3) int32 and the supervision
+    targets ('rgb', optionally 'sky', 'depth', 'features').
+    """
+
+    def step_fn(
+        state: TrainState,
+        cameras: CameraParams,
+        batch: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        scalars: StepScalars,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        bundle = generate_rays(cameras, batch["ray_index"])
+
+        def loss_fn(params):
+            outputs = forward(
+                params, config, bundle, rng, scalars.anneal,
+                train=True, stop_prop_grad=stop_prop_grad,
+            )
+            losses = compute_losses(outputs, batch, config, scalars.sigma, scalars.los_mult)
+            total = sum(losses.values())
+            mse = jnp.mean((outputs["rgb"] - batch["rgb"]) ** 2) if "rgb" in batch else 0.0
+            return total, (losses, mse)
+
+        (total, (losses, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["psnr"] = _psnr(mse)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+class TrainStepPair:
+    """The two compiled variants (proposal grads on/off) behind one call."""
+
+    def __init__(self, config: NerfactoNuscMSConfig, tx: optax.GradientTransformation):
+        self._steps = {
+            False: make_train_step(config, tx, stop_prop_grad=False),
+            True: make_train_step(config, tx, stop_prop_grad=True),
+        }
+
+    def __call__(self, state, cameras, batch, rng, scalars, stop_prop_grad: bool):
+        return self._steps[bool(stop_prop_grad)](state, cameras, batch, rng, scalars)
+
+
+def init_train_state(params: Dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0, jnp.int32))

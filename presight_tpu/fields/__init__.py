@@ -1,0 +1,12 @@
+"""Fields: stacked multi-scene expert iNGP / proposal / sky fields."""
+
+from .router import Routing, assign_experts, build_routing, route_positions
+from .ingp_field import (
+    INGPFieldConfig,
+    density_and_embedding_sorted,
+    init_ingp_field,
+    rgb_sorted,
+    semantics_sorted,
+)
+from .prop_field import PropFieldConfig, init_prop_field, prop_density, prop_density_sorted
+from .sky_field import SkyFieldConfig, init_sky_field, sky_outputs_sorted

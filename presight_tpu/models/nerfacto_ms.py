@@ -1,0 +1,559 @@
+"""NerfactoNuscMS: the PreSight city-tile NeRF, assembled TPU-native.
+
+Reference spec: nerfstudio-0.3.3/nerfstudio/models/PreSight/
+nerfacto_nusc_ms.py (config :76-201, modules :212-385, forward :452-546,
+losses :558-645, depth-only inference :688-734).
+
+Everything is functional: ``init_model`` builds one parameter pytree holding
+the stacked multi-scene fields, two proposal fields, the sky field, and the
+appearance/video embeddings; ``forward`` is a pure function of
+(params, rays, rng, schedule scalars) designed to jit end-to-end — the whole
+sample->field->render->loss graph compiles into one XLA program per
+(train/eval x stop_prop_grad) variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.ingp_field import (
+    INGPFieldConfig,
+    density_and_embedding_sorted,
+    init_ingp_field,
+    rgb_sorted,
+    semantics_sorted,
+)
+from ..fields.prop_field import PropFieldConfig, init_prop_field, prop_density
+from ..fields.router import build_routing, route_positions
+from ..fields.sky_field import SkyFieldConfig, init_sky_field, sky_outputs_sorted
+from ..ops import losses as L
+from ..ops.rays import RayBundle, RaySamples, get_weights
+from ..ops.renderers import (
+    render_accumulation,
+    render_depth_expected,
+    render_depth_median,
+    render_rgb,
+    render_semantics,
+)
+from ..ops.samplers import SpacingSpec, proposal_sample
+from ..ops.stepfun import distortion_loss, interlevel_loss, z_anti_aliasing_interlevel_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfactoNuscMSConfig:
+    """Mirrors NerfactoNuscMSModelConfig (nerfacto_nusc_ms.py:76-201)."""
+
+    eval_num_rays_per_chunk: int = 1 << 15
+    near_plane: float = 0.1
+    far_plane: float = 1000.0
+    hidden_dim: int = 64
+    hidden_dim_color: int = 64
+    num_levels: int = 10
+    base_res: int = 16
+    max_res: int = 16384
+    log2_hashmap_size: int = 20
+    features_per_level: int = 4
+    num_proposal_samples_per_ray: Tuple[int, ...] = (128, 64)
+    num_nerf_samples_per_ray: int = 64
+    proposal_update_every: int = 5
+    proposal_warmup: int = 1000
+    num_proposal_iterations: int = 2
+    proposal_net_args_list: Tuple[Dict, ...] = (
+        dict(features_per_level=1, log2_hashmap_size=20, num_levels=8,
+             base_res=16, max_res=1024),
+        dict(features_per_level=1, log2_hashmap_size=20, num_levels=8,
+             base_res=16, max_res=4096),
+    )
+    piecewise_sampler_threshold: float = 1.0
+    interlevel_loss_mult: float = 1.0
+    enable_z_anti_aliasing: bool = True
+    pulse_width: Tuple[float, ...] = (0.03, 0.003)
+    distortion_loss_mult: float = 0.002
+    use_proposal_weight_anneal: bool = True
+    use_average_appearance_embedding: bool = True
+    proposal_weights_anneal_slope: float = 10.0
+    proposal_weights_anneal_max_num_iters: int = 1000
+    use_single_jitter: bool = True
+    appearance_embed_dim: int = 4
+    video_embed_dim: int = 12
+    use_sky_model: bool = True
+    num_sky_mlp_layers: int = 3
+    sky_mlp_dims: int = 32
+    sky_loss_mult: float = 0.001
+    use_lidar_loss: bool = True
+    expected_depth_loss_mult: float = 1.0
+    lidar_depth_upperbound: float = 75.0
+    line_of_sight_mult: float = 0.1
+    line_of_sight_decay_steps: int = 5000
+    line_of_sight_start_step: int = 1000
+    line_of_sight_end_step: int = 30000
+    line_of_sight_max_sigma: float = 5.0
+    line_of_sight_min_sigma: float = 2.0
+    use_semantics: bool = True
+    semantic_dim: int = 64
+    semantic_loss_mult: float = 0.5
+    use_monodepth_loss: bool = False
+    monodepth_loss_inverse: bool = False
+    monodepth_depth_upperbound: float = 40.0
+    pose_scale_factor: float = 1.0  # dataparser metadata, static per run
+    compute_dtype: str = "float32"
+
+    @property
+    def appearance_dim(self) -> int:
+        return self.appearance_embed_dim + self.video_embed_dim
+
+    @property
+    def field(self) -> INGPFieldConfig:
+        return INGPFieldConfig(
+            num_levels=self.num_levels,
+            base_res=self.base_res,
+            max_res=self.max_res,
+            log2_hashmap_size=self.log2_hashmap_size,
+            features_per_level=self.features_per_level,
+            hidden_dim=self.hidden_dim,
+            hidden_dim_color=self.hidden_dim_color,
+            appearance_embedding_dim=self.appearance_dim,
+            use_semantics=self.use_semantics,
+            semantic_dim=self.semantic_dim,
+        )
+
+    def prop(self, i: int) -> PropFieldConfig:
+        args = self.proposal_net_args_list[min(i, len(self.proposal_net_args_list) - 1)]
+        return PropFieldConfig(
+            num_levels=args["num_levels"],
+            base_res=args["base_res"],
+            max_res=args["max_res"],
+            log2_hashmap_size=args["log2_hashmap_size"],
+            features_per_level=args["features_per_level"],
+        )
+
+    @property
+    def sky(self) -> SkyFieldConfig:
+        return SkyFieldConfig(
+            mlp_num_layers=self.num_sky_mlp_layers,
+            mlp_layer_width=self.sky_mlp_dims,
+            appearance_embedding_dim=self.appearance_dim,
+            use_semantics=self.use_semantics,
+            semantic_dim=self.semantic_dim,
+        )
+
+    @property
+    def spacing(self) -> SpacingSpec:
+        return SpacingSpec("piecewise_threshold", threshold=self.piecewise_sampler_threshold)
+
+
+def init_model(
+    key: jax.Array,
+    config: NerfactoNuscMSConfig,
+    aabbs: np.ndarray,  # (E, 2, 3)
+    centroids: np.ndarray,  # (E, 3)
+    num_train_cameras: int,
+    num_train_videos: int,
+) -> Dict:
+    """Build the full parameter pytree (nerfacto_nusc_ms.py:212-385)."""
+    num_experts = int(aabbs.shape[0])
+    aabbs = np.asarray(aabbs, np.float32)
+    centroids = np.asarray(centroids, np.float32)
+    keys = jax.random.split(key, 3 + config.num_proposal_iterations)
+
+    # Each sub-field gets its own copy of the aabb/centroid buffers: sharing
+    # one jnp array across sub-trees breaks buffer donation in the jitted
+    # train step ("donate the same buffer twice").
+    def buf(x):
+        return jnp.array(x, jnp.float32)
+
+    params = {
+        "field": init_ingp_field(keys[0], config.field, num_experts, buf(aabbs), buf(centroids)),
+        "props": [
+            init_prop_field(keys[1 + i], config.prop(i), num_experts, buf(aabbs), buf(centroids))
+            for i in range(config.num_proposal_iterations)
+        ],
+    }
+    if config.use_sky_model:
+        params["sky"] = init_sky_field(keys[-2], config.sky, num_experts, buf(centroids))
+    # torch nn.Embedding default init: N(0, 1).
+    k_app, k_vid = jax.random.split(keys[-1])
+    if config.appearance_embed_dim > 0:
+        params["appearance_embedding"] = jax.random.normal(
+            k_app, (num_train_cameras, config.appearance_embed_dim), jnp.float32
+        )
+    if config.video_embed_dim > 0:
+        params["video_embedding"] = jax.random.normal(
+            k_vid, (num_train_videos, config.video_embed_dim), jnp.float32
+        )
+    return params
+
+
+_BUFFER_KEYS = ("aabbs", "centroids")
+
+
+def param_groups(params: Dict) -> Dict:
+    """Optimizer group labels mirroring Model.get_param_groups
+    (nerfacto_nusc_ms.py:404-414): proposal networks in one group, all other
+    trainables in 'fields'. The aabb/centroid *buffers* (registered buffers
+    in the reference, not parameters) are labeled 'frozen' — the optimizer
+    must pair that label with optax.set_to_zero()."""
+
+    def label_tree(tree, group):
+        if isinstance(tree, dict):
+            return {
+                k: ("frozen" if k in _BUFFER_KEYS else label_tree(v, group))
+                for k, v in tree.items()
+            }
+        return jax.tree_util.tree_map(lambda _: group, tree)
+
+    return {
+        name: label_tree(sub, "proposal_networks" if name == "props" else "fields")
+        for name, sub in params.items()
+    }
+
+
+def _embed_appearance(
+    params: Dict, config: NerfactoNuscMSConfig, ray_samples: RaySamples, train: bool
+) -> Optional[jnp.ndarray]:
+    """Per-ray appearance embedding: train gathers by camera/video index;
+    eval uses the mean embedding (nerfacto_nusc_ms.py:456-494)."""
+    if config.appearance_dim == 0:
+        return None
+    num_rays = ray_samples.starts.shape[0]
+    parts = []
+    if config.appearance_embed_dim > 0:
+        emb = params["appearance_embedding"]
+        if train:
+            parts.append(emb[ray_samples.camera_indices])
+        else:
+            parts.append(jnp.broadcast_to(emb.mean(axis=0), (num_rays, emb.shape[-1])))
+    if config.video_embed_dim > 0:
+        emb = params["video_embedding"]
+        if train:
+            parts.append(emb[ray_samples.video_ids])
+        else:
+            parts.append(jnp.broadcast_to(emb.mean(axis=0), (num_rays, emb.shape[-1])))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def apply_collider(bundle: RayBundle, config: NerfactoNuscMSConfig) -> RayBundle:
+    """NearFarCollider (scene_colliders.py:169): constant near/far planes."""
+    num_rays = bundle.origins.shape[0]
+    dtype = bundle.origins.dtype
+    return bundle.replace(
+        nears=jnp.full((num_rays,), config.near_plane, dtype),
+        fars=jnp.full((num_rays,), config.far_plane, dtype),
+    )
+
+
+def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
+    return [
+        (lambda p, i=i: prop_density(params["props"][i], config.prop(i), p))
+        for i in range(config.num_proposal_iterations)
+    ]
+
+
+def forward(
+    params: Dict,
+    config: NerfactoNuscMSConfig,
+    bundle: RayBundle,
+    rng: jax.Array,
+    anneal: jnp.ndarray,
+    train: bool = True,
+    stop_prop_grad: bool = False,
+) -> Dict:
+    """Full forward pass (nerfacto_nusc_ms.py:452-546).
+
+    Returns rgb/accumulation/depth/expected_depth/semantics plus the
+    weights/ray-samples lists needed by the interlevel and distortion losses.
+    """
+    bundle = apply_collider(bundle, config)
+
+    ray_samples, weights_list, ray_samples_list = proposal_sample(
+        rng,
+        bundle,
+        _density_fns(params, config),
+        num_proposal_samples=config.num_proposal_samples_per_ray,
+        num_nerf_samples=config.num_nerf_samples_per_ray,
+        spec=config.spacing,
+        anneal=anneal,
+        stratified=train,
+        single_jitter=config.use_single_jitter,
+        stop_prop_grad=stop_prop_grad,
+    )
+
+    num_rays, num_samples = ray_samples.starts.shape
+    positions = ray_samples.positions().reshape(-1, 3)  # (N, 3)
+    fcfg = config.field
+    routing = route_positions(positions, params["field"]["centroids"])
+    pos_sorted = positions[routing.order]
+
+    density_s, geo_s, sem_s = density_and_embedding_sorted(
+        params["field"], fcfg, pos_sorted, routing
+    )
+
+    directions = jnp.broadcast_to(
+        bundle.directions[:, None, :], (num_rays, num_samples, 3)
+    ).reshape(-1, 3)
+    app = _embed_appearance(params, config, ray_samples, train)  # (R, A) or None
+    app_flat = None
+    if app is not None:
+        app_flat = jnp.broadcast_to(
+            app[:, None, :], (num_rays, num_samples, app.shape[-1])
+        ).reshape(-1, app.shape[-1])
+
+    rgb_s = rgb_sorted(
+        params["field"], fcfg, directions[routing.order], geo_s,
+        None if app_flat is None else app_flat[routing.order], routing,
+    )
+
+    density = density_s[routing.inverse].reshape(num_rays, num_samples)
+    rgb_samples = rgb_s[routing.inverse].reshape(num_rays, num_samples, 3)
+
+    weights = get_weights(ray_samples.deltas(), density)
+    weights_list = weights_list + [weights]
+    ray_samples_list = ray_samples_list + [ray_samples]
+
+    rgb = render_rgb(rgb_samples, weights)
+    depth = jax.lax.stop_gradient(render_depth_median(weights, ray_samples))
+    expected_depth = render_depth_expected(weights, ray_samples)
+    accumulation = jnp.clip(render_accumulation(weights), 0.0, 1.0)
+
+    outputs: Dict = {}
+    if config.use_sky_model:
+        sky_routing = build_routing(
+            # Routed on ray origins (sky_field_ms.py:89-98).
+            jnp.argmin(
+                jnp.sum(
+                    (bundle.origins[:, None, :] - params["sky"]["centroids"][None]) ** 2,
+                    axis=-1,
+                ),
+                axis=-1,
+            ).astype(jnp.int32),
+            params["sky"]["centroids"].shape[0],
+        )
+        sky_rgb_s, sky_sem_s = sky_outputs_sorted(
+            params["sky"], config.sky,
+            bundle.directions[sky_routing.order],
+            None if app is None else app[sky_routing.order],
+            sky_routing,
+        )
+        sky_rgb = sky_rgb_s[sky_routing.inverse]
+        rgb = rgb + (1.0 - accumulation)[:, None] * sky_rgb
+        if sky_sem_s is not None:
+            outputs["sky_semantics"] = sky_sem_s[sky_routing.inverse]
+
+    outputs.update(
+        rgb=rgb,
+        accumulation=accumulation,
+        depth=depth,
+        expected_depth=expected_depth,
+    )
+
+    if config.use_semantics:
+        sem_feats = semantics_sorted(params["field"], fcfg, sem_s, routing)
+        sem_samples = sem_feats[routing.inverse].reshape(num_rays, num_samples, -1)
+        semantics = render_semantics(sem_samples, weights)
+        if config.use_sky_model and "sky_semantics" in outputs:
+            semantics = semantics + (1.0 - accumulation)[:, None] * outputs["sky_semantics"]
+        outputs["semantics"] = semantics
+
+    outputs["weights_list"] = weights_list
+    outputs["ray_samples_list"] = ray_samples_list
+    return outputs
+
+
+def forward_depth(
+    params: Dict,
+    config: NerfactoNuscMSConfig,
+    bundle: RayBundle,
+    rng: jax.Array,
+    threshold: float = 0.5,
+) -> Dict:
+    """Density-only inference used by prior extraction
+    (nerfacto_nusc_ms.py:688-734 get_depth): proposal sampling + main-field
+    density + median/expected depth, no color/semantic heads."""
+    bundle = apply_collider(bundle, config)
+    ray_samples, _, _ = proposal_sample(
+        rng,
+        bundle,
+        _density_fns(params, config),
+        num_proposal_samples=config.num_proposal_samples_per_ray,
+        num_nerf_samples=config.num_nerf_samples_per_ray,
+        spec=config.spacing,
+        anneal=jnp.asarray(1.0, jnp.float32),
+        stratified=False,
+        single_jitter=config.use_single_jitter,
+        stop_prop_grad=True,
+    )
+    num_rays, num_samples = ray_samples.starts.shape
+    positions = ray_samples.positions().reshape(-1, 3)
+    routing = route_positions(positions, params["field"]["centroids"])
+    density_s, _, _ = density_and_embedding_sorted(
+        params["field"], config.field, positions[routing.order], routing
+    )
+    density = density_s[routing.inverse].reshape(num_rays, num_samples)
+    weights = get_weights(ray_samples.deltas(), density)
+    return {
+        "depth": render_depth_median(weights, ray_samples, threshold),
+        "expected_depth": render_depth_expected(weights, ray_samples),
+    }
+
+
+def field_density(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.ndarray) -> jnp.ndarray:
+    """Main-field density at world positions (extraction path,
+    extract_priors.py:130-137)."""
+    shape = positions.shape[:-1]
+    flat = positions.reshape(-1, 3)
+    routing = route_positions(flat, params["field"]["centroids"])
+    density_s, _, _ = density_and_embedding_sorted(
+        params["field"], config.field, flat[routing.order], routing
+    )
+    return density_s[routing.inverse].reshape(shape)
+
+
+def field_semantics(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.ndarray) -> jnp.ndarray:
+    """Main-field semantic features at world positions
+    (ingp_field.py:253-266 semantic_fn via the MS router)."""
+    shape = positions.shape[:-1]
+    flat = positions.reshape(-1, 3)
+    routing = route_positions(flat, params["field"]["centroids"])
+    _, _, sem_s = density_and_embedding_sorted(
+        params["field"], config.field, flat[routing.order], routing
+    )
+    sem = semantics_sorted(params["field"], config.field, sem_s, routing)
+    return sem[routing.inverse].reshape(*shape, -1)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def compute_losses(
+    outputs: Dict,
+    batch: Dict,
+    config: NerfactoNuscMSConfig,
+    sigma: jnp.ndarray,
+    los_mult: jnp.ndarray,
+) -> Dict[str, jnp.ndarray]:
+    """Training losses (nerfacto_nusc_ms.py:558-645). ``sigma`` and
+    ``los_mult`` are the host-side line-of-sight schedule values."""
+    loss_dict: Dict[str, jnp.ndarray] = {}
+
+    if "rgb" in batch:
+        loss_dict["rgb_loss"] = L.rgb_loss(outputs["rgb"], batch["rgb"])
+
+    if config.use_sky_model and "sky" in batch:
+        loss_dict["sky_loss"] = config.sky_loss_mult * L.sky_loss(
+            outputs["accumulation"], batch["sky"]
+        )
+
+    needs_depth = (config.use_lidar_loss or config.use_monodepth_loss) and "depth" in batch
+    if needs_depth:
+        final_samples: RaySamples = outputs["ray_samples_list"][-1]
+        psf = config.pose_scale_factor
+        ray_steps = final_samples.steps() / psf
+        predicted_depth = outputs["expected_depth"] / psf
+        upper = (
+            config.lidar_depth_upperbound
+            if config.use_lidar_loss
+            else config.monodepth_depth_upperbound
+        )
+        if config.use_lidar_loss:
+            loss_dict["expected_depth_loss"] = (
+                config.expected_depth_loss_mult
+                * L.expected_depth_loss(batch["depth"], predicted_depth, upper)
+            )
+            sky_mask = None
+        else:
+            loss_dict["expected_depth_loss"] = (
+                config.expected_depth_loss_mult
+                * L.expected_monodepth_loss(
+                    batch["depth"], predicted_depth, batch["sky"], upper,
+                    config.monodepth_loss_inverse,
+                )
+            )
+            sky_mask = batch["sky"]
+        loss_dict["line_of_sight_loss"] = los_mult * L.line_of_sight_loss(
+            outputs["weights_list"][-1], batch["depth"], ray_steps, sigma,
+            sky_mask, upper,
+        )
+
+    if config.use_semantics and "features" in batch:
+        loss_dict["semantic_loss"] = config.semantic_loss_mult * L.semantic_loss(
+            outputs["semantics"], batch["features"], clip=True
+        )
+
+    if config.enable_z_anti_aliasing:
+        il = z_anti_aliasing_interlevel_loss(
+            outputs["weights_list"], outputs["ray_samples_list"], config.pulse_width
+        )
+    else:
+        il = interlevel_loss(outputs["weights_list"], outputs["ray_samples_list"])
+    loss_dict["interlevel_loss"] = config.interlevel_loss_mult * il
+    loss_dict["distortion_loss"] = config.distortion_loss_mult * distortion_loss(
+        outputs["weights_list"], outputs["ray_samples_list"]
+    )
+    return loss_dict
+
+
+# ---------------------------------------------------------------------------
+# Host-side schedules (plain numpy; feed scalars into the jitted step)
+# ---------------------------------------------------------------------------
+
+
+def anneal_at(config: NerfactoNuscMSConfig, step: int) -> float:
+    """Proposal-weight anneal (nerfacto_nusc_ms.py:425-441, zip-NeRF eq.18)."""
+    if not config.use_proposal_weight_anneal:
+        return 1.0
+    n = config.proposal_weights_anneal_max_num_iters
+    train_frac = float(np.clip(step / n, 0.0, 1.0))
+    b = config.proposal_weights_anneal_slope
+    return b * train_frac / ((b - 1.0) * train_frac + 1.0)
+
+
+def line_of_sight_sigma_at(config: NerfactoNuscMSConfig, step: int) -> float:
+    """(nerfacto_nusc_ms.py:387-396)."""
+    start, end = config.line_of_sight_start_step, config.line_of_sight_end_step
+    frac = float(np.clip((step - start) / max(end - start, 1), 0.0, 1.0))
+    return config.line_of_sight_max_sigma - frac * (
+        config.line_of_sight_max_sigma - config.line_of_sight_min_sigma
+    )
+
+
+def line_of_sight_mult_at(config: NerfactoNuscMSConfig, step: int) -> float:
+    """(nerfacto_nusc_ms.py:398-403)."""
+    if step <= config.line_of_sight_start_step:
+        return 0.0
+    times = step // config.line_of_sight_decay_steps
+    return config.line_of_sight_mult / (2.0 ** times)
+
+
+class ProposalUpdateSchedule:
+    """Host-side replica of ProposalNetworkSampler's update bookkeeping
+    (ray_samplers.py:560-612 + nerfacto_nusc_ms.py:299-305 update_schedule):
+    proposal densities carry gradients only on 'updated' steps."""
+
+    def __init__(self, config: NerfactoNuscMSConfig):
+        self._cfg = config
+        self._steps_since_update = 0
+
+    def updated(self, step: int) -> bool:
+        sched = float(
+            np.clip(
+                np.interp(
+                    step, [0, self._cfg.proposal_warmup], [0, self._cfg.proposal_update_every]
+                ),
+                1,
+                self._cfg.proposal_update_every,
+            )
+        )
+        is_updated = self._steps_since_update > sched or step < 10
+        return bool(is_updated)
+
+    def step_cb(self, step: int, was_updated: bool) -> None:
+        self._steps_since_update += 1
+        if was_updated:
+            self._steps_since_update = 0

@@ -1,11 +1,19 @@
 """Test configuration: run everything on an 8-device virtual CPU mesh so
-multi-chip sharding paths are exercised without TPU hardware."""
+multi-chip sharding paths are exercised without TPU hardware.
+
+Note: the environment's sitecustomize pre-imports jax and pins
+JAX_PLATFORMS=axon (the tunneled TPU); plain env vars are therefore not
+enough — we must update the already-imported config.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,143 @@
+"""Router + stacked field tests: grouped dispatch must match dense
+per-expert evaluation, and the full model forward must be finite and
+differentiable."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from presight_tpu.fields import (
+    INGPFieldConfig,
+    PropFieldConfig,
+    assign_experts,
+    build_routing,
+    density_and_embedding_sorted,
+    init_ingp_field,
+    init_prop_field,
+    prop_density,
+    rgb_sorted,
+    route_positions,
+)
+from presight_tpu.ops.mlp import (
+    apply_mlp,
+    apply_mlp_dense_experts,
+    apply_mlp_grouped,
+    init_mlp,
+)
+
+
+def test_assign_experts_nearest_centroid():
+    centroids = jnp.asarray([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    pos = jnp.asarray([[1.0, 0.0, 0.0], [9.0, 0.0, 0.0], [4.9, 0.0, 0.0], [5.1, 0.0, 0.0]])
+    ids = np.asarray(assign_experts(pos, centroids))
+    np.testing.assert_array_equal(ids, [0, 1, 0, 1])
+
+
+def test_routing_roundtrip():
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(0, 4, size=100).astype(np.int32))
+    r = build_routing(ids, 4)
+    x = jnp.asarray(rng.randn(100, 3).astype(np.float32))
+    x_sorted = x[r.order]
+    np.testing.assert_array_equal(np.asarray(x_sorted[r.inverse]), np.asarray(x))
+    assert int(r.group_sizes.sum()) == 100
+    # sorted ids are non-decreasing
+    assert (np.diff(np.asarray(r.expert_ids_sorted)) >= 0).all()
+
+
+def test_grouped_mlp_matches_dense():
+    rng = np.random.RandomState(1)
+    E, N = 4, 64
+    params = init_mlp(jax.random.PRNGKey(0), in_dim=8, num_layers=3, layer_width=32,
+                      out_dim=5, num_experts=E)
+    x = jnp.asarray(rng.randn(N, 8).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, E, N).astype(np.int32))
+    r = build_routing(ids, E)
+
+    dense = apply_mlp_dense_experts(params, x, ids, E)
+    grouped = apply_mlp_grouped(params, x[r.order], r.group_sizes, r.expert_ids_sorted)
+    grouped_unsorted = grouped[r.inverse]
+    np.testing.assert_allclose(np.asarray(grouped_unsorted), np.asarray(dense),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_grouped_mlp_matches_single_expert():
+    params = init_mlp(jax.random.PRNGKey(0), in_dim=8, num_layers=2, layer_width=16,
+                      out_dim=4, num_experts=1)
+    single = [(w[0], b[0]) for w, b in params]
+    x = jnp.asarray(np.random.RandomState(2).randn(32, 8).astype(np.float32))
+    r = build_routing(jnp.zeros(32, jnp.int32), 1)
+    grouped = apply_mlp_grouped(params, x, r.group_sizes, r.expert_ids_sorted)
+    plain = apply_mlp(single, x)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(plain), rtol=2e-4, atol=1e-5)
+
+
+def _small_field_cfg():
+    return INGPFieldConfig(num_levels=4, base_res=4, max_res=64, log2_hashmap_size=10,
+                           features_per_level=2, hidden_dim=16, hidden_dim_color=16,
+                           appearance_embedding_dim=4, semantic_dim=8,
+                           hidden_dim_semantic_head=16)
+
+
+def _aabbs_centroids(E=2):
+    centroids = np.stack([np.array([20.0 * i, 0, 0], np.float32) for i in range(E)])
+    aabbs = np.stack([
+        np.stack([c - 10.0, c + 10.0]) for c in centroids
+    ]).astype(np.float32)
+    return jnp.asarray(aabbs), jnp.asarray(centroids)
+
+
+def test_ingp_field_forward_finite_and_expert_isolated():
+    cfg = _small_field_cfg()
+    aabbs, centroids = _aabbs_centroids(2)
+    params = init_ingp_field(jax.random.PRNGKey(0), cfg, 2, aabbs, centroids)
+
+    rng = np.random.RandomState(0)
+    pos = np.concatenate([
+        rng.randn(16, 3).astype(np.float32) * 3,          # near expert 0
+        rng.randn(16, 3).astype(np.float32) * 3 + [20, 0, 0],  # near expert 1
+    ])
+    routing = route_positions(jnp.asarray(pos), centroids)
+    density, geo, sem = density_and_embedding_sorted(
+        params, cfg, jnp.asarray(pos)[routing.order], routing)
+    assert np.isfinite(np.asarray(density)).all()
+    assert density.shape == (32,)
+    assert geo.shape == (32, cfg.geo_feat_dim)
+    assert sem.shape == (32, cfg.semantic_dim)
+
+    d = rng.randn(32, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    app = rng.randn(32, 4).astype(np.float32)
+    rgb = rgb_sorted(params, cfg, jnp.asarray(d)[routing.order], geo,
+                     jnp.asarray(app)[routing.order], routing)
+    rgb = np.asarray(rgb)
+    assert (rgb >= 0).all() and (rgb <= 1).all()
+
+    # Perturbing expert 1's hash slab must not change expert-0 samples.
+    T = cfg.hash.table_size * cfg.num_levels
+    table2 = params["hash_table"].at[T:].add(1.0)
+    params2 = dict(params, hash_table=table2)
+    d2, _, _ = density_and_embedding_sorted(
+        params2, cfg, jnp.asarray(pos)[routing.order], routing)
+    ids_sorted = np.asarray(routing.expert_ids_sorted)
+    np.testing.assert_allclose(np.asarray(d2)[ids_sorted == 0],
+                               np.asarray(density)[ids_sorted == 0], rtol=1e-6)
+    assert not np.allclose(np.asarray(d2)[ids_sorted == 1],
+                           np.asarray(density)[ids_sorted == 1])
+
+
+def test_prop_field_density():
+    cfg = PropFieldConfig(num_levels=4, base_res=4, max_res=32, log2_hashmap_size=10,
+                          features_per_level=1, hidden_dim=16)
+    aabbs, centroids = _aabbs_centroids(2)
+    params = init_prop_field(jax.random.PRNGKey(0), cfg, 2, aabbs, centroids)
+    pos = jnp.asarray(np.random.RandomState(0).randn(4, 8, 3).astype(np.float32) * 5)
+    dens = prop_density(params, cfg, pos)
+    assert dens.shape == (4, 8)
+    assert np.isfinite(np.asarray(dens)).all()
+    assert (np.asarray(dens) >= 0).all()
+
+    # Differentiable w.r.t. the hash table.
+    g = jax.grad(lambda t: jnp.sum(prop_density(dict(params, hash_table=t), cfg, pos)))(
+        params["hash_table"])
+    assert np.isfinite(np.asarray(g)).all()
