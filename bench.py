@@ -1,0 +1,159 @@
+"""Benchmark: flagship train-step throughput (rays/s) on the attached TPU.
+
+Baseline (BASELINE.md): the reference trains one city tile at ~91k rays/s on
+one A100 (65,536 rays/batch, 100k iters, ~20 h). North star: >= 57k
+rays/s/chip on TPU v5e.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from presight_tpu.utils.jax_setup import setup as _setup_jax
+
+_setup_jax()
+
+BASELINE_RAYS_PER_SEC = 91_022.0  # 65536 * 100000 / 72000s, 1x A100
+
+
+def build(num_experts: int, log2_hashmap_size: int, num_rays: int):
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.data.cameras import CameraParams
+    from presight_tpu.engine import (
+        OptimizerGroupConfig,
+        StepScalars,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from presight_tpu.models import NerfactoNuscMSConfig, init_model, param_groups
+
+    pose_rescale = 0.05
+    config = NerfactoNuscMSConfig(
+        near_plane=0.1 * pose_rescale,
+        far_plane=1000.0 * pose_rescale,
+        piecewise_sampler_threshold=100.0 * pose_rescale,
+        log2_hashmap_size=log2_hashmap_size,
+        pose_scale_factor=pose_rescale,
+    )
+    rng = np.random.RandomState(0)
+    centroids = (rng.randn(num_experts, 3) * 2).astype(np.float32)
+    aabbs = np.stack([np.stack([c - 5.0, c + 5.0]) for c in centroids]).astype(np.float32)
+    num_cameras, num_videos = 1536, 12
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids,
+                        num_cameras, num_videos)
+
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (num_cameras, 1, 1))
+    c2w[:, :3, 3] = rng.randn(num_cameras, 3).astype(np.float32)
+    cameras = CameraParams(
+        c2w=jnp.asarray(c2w),
+        fx=jnp.full((num_cameras,), 800.0, jnp.float32),
+        fy=jnp.full((num_cameras,), 800.0, jnp.float32),
+        cx=jnp.full((num_cameras,), 400.0, jnp.float32),
+        cy=jnp.full((num_cameras,), 225.0, jnp.float32),
+        video_ids=jnp.asarray(rng.randint(0, num_videos, num_cameras).astype(np.int32)),
+    )
+
+    groups = {
+        "proposal_networks": OptimizerGroupConfig(),
+        "fields": OptimizerGroupConfig(),
+    }
+    tx = make_optimizer(groups, param_groups(params))
+    state = init_train_state(params, tx)
+    step = make_train_step(config, tx, stop_prop_grad=False)
+
+    def batch_for(seed):
+        r = np.random.RandomState(seed)
+        return {
+            "ray_index": jnp.asarray(np.stack([
+                r.randint(0, num_cameras, num_rays),
+                r.randint(0, 450, num_rays),
+                r.randint(0, 800, num_rays),
+            ], -1).astype(np.int32)),
+            "rgb": jnp.asarray(r.rand(num_rays, 3).astype(np.float32)),
+            "sky": jnp.asarray((r.rand(num_rays) > 0.9).astype(np.float32)),
+            "depth": jnp.asarray((r.rand(num_rays) * 60).astype(np.float32)),
+            "features": jnp.asarray(r.rand(num_rays, 64).astype(np.float32)),
+        }
+
+    scalars = StepScalars(
+        anneal=jnp.asarray(1.0, jnp.float32),
+        sigma=jnp.asarray(5.0, jnp.float32),
+        los_mult=jnp.asarray(0.1, jnp.float32),
+    )
+    return step, state, cameras, batch_for, scalars
+
+
+def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20):
+    import jax
+
+    step, state, cameras, batch_for, scalars = build(
+        num_experts, log2_hashmap_size, num_rays
+    )
+    key = jax.random.PRNGKey(0)
+    batches = [batch_for(i) for i in range(4)]
+    # Warmup / compile.
+    key, sub = jax.random.split(key)
+    state, metrics = step(state, cameras, batches[0], sub, scalars)
+    jax.block_until_ready(metrics["total_loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, cameras, batches[i % len(batches)], sub, scalars)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return num_rays / dt, dt, float(metrics["total_loss"])
+
+
+def main():
+    results = []
+    # Flagship shape: 16 experts x 2^20 tables (Boston tile). Fall back to
+    # smaller footprints if HBM is insufficient.
+    for num_experts, log2, num_rays in [
+        (16, 20, 65536),
+        (16, 20, 32768),
+        (16, 20, 16384),
+        (8, 20, 32768),
+        (4, 19, 32768),
+    ]:
+        try:
+            rays_per_sec, step_time, loss = bench_config(num_experts, log2, num_rays)
+            results.append((rays_per_sec, num_experts, log2, num_rays, step_time))
+            print(
+                f"# E={num_experts} log2={log2} rays={num_rays}: "
+                f"{rays_per_sec:,.0f} rays/s ({step_time*1e3:.1f} ms/step, loss={loss:.3f})",
+                file=sys.stderr,
+            )
+            break  # first (largest) config that fits is the flagship number
+        except Exception as e:  # noqa: BLE001 - OOM fallback
+            print(f"# E={num_experts} log2={log2} rays={num_rays} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            continue
+
+    if not results:
+        print(json.dumps({
+            "metric": "train_rays_per_sec_per_chip", "value": 0.0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+        }))
+        return
+
+    best = max(results)[0]
+    print(json.dumps({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(best / BASELINE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

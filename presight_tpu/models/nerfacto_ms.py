@@ -102,6 +102,12 @@ class NerfactoNuscMSConfig:
     monodepth_depth_upperbound: float = 40.0
     pose_scale_factor: float = 1.0  # dataparser metadata, static per run
     compute_dtype: str = "float32"
+    remat: bool = True
+    """Rematerialize field evaluations in the backward pass. The hash-grid
+    gather's saved corner features dominate activation memory (8 corners x
+    features x levels per sample); recomputing them trades cheap
+    bandwidth-bound FLOPs for ~5-10x activation memory, letting large ray
+    batches fit in 16 GB HBM."""
 
     @property
     def appearance_dim(self) -> int:
@@ -248,10 +254,15 @@ def apply_collider(bundle: RayBundle, config: NerfactoNuscMSConfig) -> RayBundle
 
 
 def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
-    return [
-        (lambda p, i=i: prop_density(params["props"][i], config.prop(i), p))
-        for i in range(config.num_proposal_iterations)
-    ]
+    def make(i):
+        def fn(prop_params, positions):
+            return prop_density(prop_params, config.prop(i), positions)
+
+        if config.remat:
+            fn = jax.checkpoint(fn)
+        return lambda positions: fn(params["props"][i], positions)
+
+    return [make(i) for i in range(config.num_proposal_iterations)]
 
 
 def forward(
@@ -286,12 +297,6 @@ def forward(
     num_rays, num_samples = ray_samples.starts.shape
     positions = ray_samples.positions().reshape(-1, 3)  # (N, 3)
     fcfg = config.field
-    routing = route_positions(positions, params["field"]["centroids"])
-    pos_sorted = positions[routing.order]
-
-    density_s, geo_s, sem_s = density_and_embedding_sorted(
-        params["field"], fcfg, pos_sorted, routing
-    )
 
     directions = jnp.broadcast_to(
         bundle.directions[:, None, :], (num_rays, num_samples, 3)
@@ -303,13 +308,33 @@ def forward(
             app[:, None, :], (num_rays, num_samples, app.shape[-1])
         ).reshape(-1, app.shape[-1])
 
-    rgb_s = rgb_sorted(
-        params["field"], fcfg, directions[routing.order], geo_s,
-        None if app_flat is None else app_flat[routing.order], routing,
-    )
+    def field_eval(field_params, positions, directions, app_flat):
+        """Route -> density/rgb/semantics, unsorted outputs. Checkpointed so
+        the backward pass recomputes the hash gathers instead of storing the
+        per-corner features."""
+        routing = route_positions(positions, field_params["centroids"])
+        pos_sorted = positions[routing.order]
+        density_s, geo_s, sem_s = density_and_embedding_sorted(
+            field_params, fcfg, pos_sorted, routing
+        )
+        rgb_s = rgb_sorted(
+            field_params, fcfg, directions[routing.order], geo_s,
+            None if app_flat is None else app_flat[routing.order], routing,
+        )
+        sem_out = None
+        if fcfg.use_semantics:
+            sem_feats = semantics_sorted(field_params, fcfg, sem_s, routing)
+            sem_out = sem_feats[routing.inverse]
+        return density_s[routing.inverse], rgb_s[routing.inverse], sem_out
 
-    density = density_s[routing.inverse].reshape(num_rays, num_samples)
-    rgb_samples = rgb_s[routing.inverse].reshape(num_rays, num_samples, 3)
+    if config.remat:
+        field_eval = jax.checkpoint(field_eval)
+
+    density_f, rgb_f, sem_f = field_eval(
+        params["field"], positions, directions, app_flat
+    )
+    density = density_f.reshape(num_rays, num_samples)
+    rgb_samples = rgb_f.reshape(num_rays, num_samples, 3)
 
     weights = get_weights(ray_samples.deltas(), density)
     weights_list = weights_list + [weights]
@@ -352,8 +377,7 @@ def forward(
     )
 
     if config.use_semantics:
-        sem_feats = semantics_sorted(params["field"], fcfg, sem_s, routing)
-        sem_samples = sem_feats[routing.inverse].reshape(num_rays, num_samples, -1)
+        sem_samples = sem_f.reshape(num_rays, num_samples, -1)
         semantics = render_semantics(sem_samples, weights)
         if config.use_sky_model and "sky_semantics" in outputs:
             semantics = semantics + (1.0 - accumulation)[:, None] * outputs["sky_semantics"]

@@ -1,0 +1,3 @@
+"""Mesh/sharding specs for multi-chip training."""
+
+from .mesh import data_sharded, make_mesh, replicate, replicated, shard_batch
