@@ -1,0 +1,166 @@
+"""Named method configs — the registry behind the `ns-train <method>` CLI.
+
+Reference spec: nerfstudio-0.3.3/nerfstudio/configs/method_configs.py:67-510.
+Generates the same 36 named TrainerConfigs:
+  {location}-{camera|monodepth}-dino-c{i}
+for boston-seaport (8 tiles, 16 aabbs), singapore-queenstown (4, 12),
+singapore-onenorth (4, 16), singapore-hollandvillage (2, 8) —
+pose_rescale_factor=0.05, 65,536 rays/batch, 100k iters, Adam 1e-2
+(eps 1e-15, wd 1e-5) with warmup-multistep schedule — plus a CPU-runnable
+`synthetic-demo` method over the generated fixture.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict
+
+from ..data.datamanager import DataManagerConfig
+from ..data.dataparser import DataParserConfig
+from ..engine.optimizers import OptimizerGroupConfig
+from ..engine.trainer import PipelineConfig, TrainerConfig
+from ..models.nerfacto_ms import NerfactoNuscMSConfig
+
+DATA_ROOT = Path("data/nuScenes")
+POSE_RESCALE_FACTOR = 0.05
+BS_SCALE = 8
+MAX_ITERATIONS = 100_000
+
+_TILES = {
+    "boston-seaport": (8, 16),
+    "singapore-queenstown": (4, 12),
+    "singapore-onenorth": (4, 16),
+    "singapore-hollandvillage": (2, 8),
+}
+
+
+def _optimizers(max_iterations: int) -> Dict[str, OptimizerGroupConfig]:
+    common = dict(
+        lr=1e-2, eps=1e-15, weight_decay=1e-5,
+        max_steps=max_iterations,
+        warmup_steps=max_iterations // 10,
+        milestones=(max_iterations // 4, max_iterations // 2, max_iterations * 3 // 4),
+        gamma=0.33,
+    )
+    return {
+        "proposal_networks": OptimizerGroupConfig(**common),
+        "fields": OptimizerGroupConfig(**common),
+    }
+
+
+def _base_model(max_iterations: int) -> NerfactoNuscMSConfig:
+    return NerfactoNuscMSConfig(
+        near_plane=0.1 * POSE_RESCALE_FACTOR,
+        far_plane=1000.0 * POSE_RESCALE_FACTOR,
+        piecewise_sampler_threshold=100.0 * POSE_RESCALE_FACTOR,
+        proposal_weights_anneal_max_num_iters=max_iterations // 10,
+        proposal_warmup=max_iterations // 10,
+        pose_scale_factor=POSE_RESCALE_FACTOR,
+    )
+
+
+def _tile_config(location: str, tile: int, num_aabbs: int, depth: str,
+                 max_iterations: int = MAX_ITERATIONS) -> TrainerConfig:
+    name = f"{location}-{depth}-dino-c{tile}"
+    if depth == "monodepth":
+        # method_configs.py:76-128
+        model = dataclasses.replace(
+            _base_model(max_iterations),
+            use_lidar_loss=False,
+            use_monodepth_loss=True,
+            expected_depth_loss_mult=0.1,
+            line_of_sight_mult=0.01,
+            monodepth_depth_upperbound=25.0,
+            line_of_sight_decay_steps=max_iterations,
+            line_of_sight_start_step=max_iterations // 20,
+            line_of_sight_end_step=max_iterations,
+            line_of_sight_max_sigma=6.0,
+            line_of_sight_min_sigma=4.0,
+            distortion_loss_mult=0.01,
+        )
+        depth_type = "monodepth"
+    else:
+        # method_configs.py:133-171 ("camera": RGB + sky + DINO, no depth)
+        model = dataclasses.replace(_base_model(max_iterations), use_lidar_loss=False)
+        depth_type = "none"
+    return TrainerConfig(
+        method_name=f"{location}-{depth}",
+        experiment_name=name,
+        output_dir=Path("outputs"),
+        max_num_iterations=max_iterations,
+        pipeline=PipelineConfig(
+            dataparser=DataParserConfig(
+                data_dir=DATA_ROOT,
+                location=location,
+                centroid_name=str(tile),
+                num_aabbs=num_aabbs,
+                depth_type=depth_type,
+            ),
+            datamanager=DataManagerConfig(
+                train_num_rays_per_batch=8192 * BS_SCALE,
+            ),
+            model=model,
+        ),
+        optimizers=_optimizers(max_iterations),
+    )
+
+
+def _synthetic_demo() -> TrainerConfig:
+    """CPU-runnable end-to-end demo on the generated synthetic fixture
+    (BASELINE config 1 shape)."""
+    iters = 200
+    model = dataclasses.replace(
+        _base_model(iters),
+        num_levels=6, max_res=1024, log2_hashmap_size=14, features_per_level=2,
+        hidden_dim=32, hidden_dim_color=32,
+        num_proposal_samples_per_ray=(48, 24), num_nerf_samples_per_ray=24,
+        proposal_net_args_list=(
+            dict(features_per_level=1, log2_hashmap_size=12, num_levels=5,
+                 base_res=16, max_res=256),
+            dict(features_per_level=1, log2_hashmap_size=12, num_levels=5,
+                 base_res=16, max_res=512),
+        ),
+        use_lidar_loss=True,
+        proposal_warmup=iters // 4,
+        proposal_weights_anneal_max_num_iters=iters // 4,
+        line_of_sight_start_step=iters // 4,
+        line_of_sight_end_step=iters,
+        line_of_sight_decay_steps=iters,
+    )
+    return TrainerConfig(
+        method_name="synthetic-demo",
+        experiment_name="synthetic-demo",
+        max_num_iterations=iters,
+        steps_per_save=100,
+        pipeline=PipelineConfig(
+            dataparser=DataParserConfig(
+                data_dir=Path("data/synthetic"),
+                location="synthetic-city",
+                num_aabbs=2,
+                depth_type="lidar",
+                centroids_dir=Path("data/synthetic/centroids"),
+            ),
+            datamanager=DataManagerConfig(
+                train_num_rays_per_batch=2048,
+                images_per_chunk=16,
+                chunk_ratio=0.2,
+            ),
+            model=model,
+        ),
+        optimizers=_optimizers(iters),
+    )
+
+
+def build_method_configs() -> Dict[str, TrainerConfig]:
+    configs: Dict[str, TrainerConfig] = {}
+    for location, (num_tiles, num_aabbs) in _TILES.items():
+        for depth in ("monodepth", "camera"):
+            for i in range(num_tiles):
+                cfg = _tile_config(location, i, num_aabbs, depth)
+                configs[cfg.experiment_name] = cfg
+    configs["synthetic-demo"] = _synthetic_demo()
+    return configs
+
+
+method_configs = build_method_configs()

@@ -1,0 +1,74 @@
+"""Checkpoint save/load with the reference's directory contract.
+
+Reference spec: nerfstudio-0.3.3/nerfstudio/engine/trainer.py:396-460 —
+`step-%09d.ckpt` files under `<run_dir>/nerfstudio_models/`, keep-latest-only
+by default, containing step + pipeline + optimizers + schedulers + scaler;
+and utils/eval_utils.py:68-110 (eval_setup: reload config.yml + latest
+checkpoint). TPU-native: orbax-checkpoint of {params, opt_state, step};
+schedules are pure functions of the step so they need no state; there is no
+grad scaler. Directory layout matches the reference so extract_priors /
+ns-eval find runs the same way.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _ckpt_dir(run_dir: Path) -> Path:
+    return Path(run_dir) / "nerfstudio_models"
+
+
+def save_checkpoint(run_dir: Path, step: int, state, keep_only_latest: bool = True) -> Path:
+    """Save {params, opt_state, step} at step-%09d.ckpt (orbax dir)."""
+    import orbax.checkpoint as ocp
+
+    d = _ckpt_dir(run_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"step-{step:09d}.ckpt"
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": np.asarray(step, np.int32)}
+    ckptr.save(path.absolute(), payload, force=True)
+    ckptr.wait_until_finished()
+    if keep_only_latest:
+        for f in sorted(d.glob("step-*.ckpt")):
+            if f != path:
+                import shutil
+
+                shutil.rmtree(f, ignore_errors=True)
+    return path
+
+
+def latest_checkpoint(run_dir: Path) -> Optional[Path]:
+    d = _ckpt_dir(run_dir)
+    if not d.exists():
+        return None
+    ckpts = sorted(d.glob("step-*.ckpt"))
+    return ckpts[-1] if ckpts else None
+
+
+def load_checkpoint(path: Path, abstract_state) -> Tuple[Dict, object, int]:
+    """Restore (params, opt_state, step) matching an abstract/concrete
+    template state (shape/dtype source)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "params": abstract_state.params,
+        "opt_state": abstract_state.opt_state,
+        "step": np.asarray(0, np.int32),
+    }
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
+        if hasattr(x, "dtype") else x,
+        template,
+    )
+    restored = ckptr.restore(Path(path).absolute(), abstract)
+    return restored["params"], restored["opt_state"], int(restored["step"])
