@@ -1,0 +1,293 @@
+"""Prior extraction: trained tile NeRF -> voxelized city prior pickle.
+
+Reference spec: nerfstudio-0.3.3/nerfstudio/scripts/extract_priors.py
+(extract_voxels :33-208). Per sampled camera frame (every `frame_interval`
+6-camera groups, optionally downscaled):
+
+  1. segmentation-masked pixels -> rays (dynamic classes excluded)
+  2. chunked depth render (expected depth by default) -> world points
+     (un-scaled by pose_scale_factor); filter depth in (0.5, 50) m and
+     z in (-3, 6) m
+  3. density at the hit points = mean over both proposal nets + the main
+     field (:130-137); semantic features clipped to [0,1] f16; PCA colors
+  4. density threshold > 1.0, voxel-downsample at 0.4 m, per-voxel means,
+     hit-quantile filter
+  5. pickle {points f32, features f16, colors f32, hits, origin f32}
+     + an ASCII PLY preview
+
+The pickle schema is byte-compatible with the reference's so the untouched
+downstream NuscPrior loader (occupancy/mmdet3d/datasets/prior_utils/
+city_prior.py:46-79) consumes it directly — points stay in nerfstudio
+world coordinates (the x/y negation happens downstream, do NOT pre-negate).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data import constants as K
+from ..data.cameras import CameraParams, generate_rays
+from ..models.nerfacto_ms import (
+    NerfactoNuscMSConfig,
+    field_density,
+    field_semantics,
+    forward_depth,
+)
+from ..ops.rays import RayBundle
+from ..utils.colormaps import apply_feature_colormap
+from .voxelize import hit_quantile_filter, voxel_downsample
+
+CAMERAS_PER_FRAME = 6
+
+
+def _pad_to(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+def extract_frame_points(
+    params: Dict,
+    config: NerfactoNuscMSConfig,
+    cameras: CameraParams,
+    camera_idx: int,
+    H: int,
+    W: int,
+    seg_valid: Optional[np.ndarray],
+    pose_scale_factor: float,
+    rng,
+    chunk: int = 1 << 17,
+    max_depth: float = 50.0,
+    min_depth: float = 0.5,
+    depth_type: str = "expected_depth",
+):
+    """One camera frame -> (world points, densities, features, colors=None).
+
+    Chunked to `chunk` rays (extract_priors.py:28 eval_num_rays_per_chunk)
+    with padding to a fixed shape so XLA compiles once.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if seg_valid is not None:
+        rows, cols = np.nonzero(seg_valid)
+    else:
+        rows, cols = np.nonzero(np.ones((H, W), bool))
+    n = len(rows)
+    if n == 0:
+        return None
+    ray_index = np.stack(
+        [np.full(n, camera_idx, np.int32), rows.astype(np.int32), cols.astype(np.int32)],
+        axis=-1,
+    )
+
+    depth_fn = jax.jit(partial(forward_depth, config=config))
+
+    points_list, dens_list, feat_list = [], [], []
+    for s in range(0, n, chunk):
+        idx = ray_index[s : s + chunk]
+        pad = _pad_to(len(idx), 4096) - len(idx)
+        idx_p = np.pad(idx, ((0, pad), (0, 0)))
+        bundle = generate_rays(cameras, jnp.asarray(idx_p))
+        outputs = depth_fn(params, bundle=bundle, rng=rng)
+        depth = np.asarray(outputs[depth_type])[: len(idx)] / pose_scale_factor
+        origins = np.asarray(bundle.origins)[: len(idx)] / pose_scale_factor
+        dirs = np.asarray(bundle.directions)[: len(idx)]
+        world = origins + dirs * depth[:, None]
+
+        sel = (
+            (depth < max_depth)
+            & (depth > min_depth)
+            & (world[:, 2] > -3.0)
+            & (world[:, 2] < 6.0)
+        )
+        world = world[sel]
+        if len(world) == 0:
+            continue
+
+        # Density = mean over proposal nets + main field at the hit points
+        # (extract_priors.py:130-137); features clipped [0,1] f16 (:138).
+        wpad = _pad_to(len(world), 4096) - len(world)
+        world_p = jnp.asarray(np.pad(world, ((0, wpad), (0, 0))), jnp.float32)
+        scaled = world_p * pose_scale_factor
+        densities = [np.asarray(_prop_density_jit(params, config, i)(scaled))
+                     for i in range(config.num_proposal_iterations)]
+        densities.append(np.asarray(_field_density_jit(params, config)(scaled)))
+        dens = np.stack(densities).mean(axis=0)[: len(world)]
+        feats = np.asarray(_field_semantics_jit(params, config)(scaled))[: len(world)]
+        feats = np.clip(feats, 0.0, 1.0).astype(np.float16)
+
+        points_list.append(world.astype(np.float32))
+        dens_list.append(dens.astype(np.float32))
+        feat_list.append(feats)
+
+    if not points_list:
+        return None
+    return (
+        np.concatenate(points_list),
+        np.concatenate(dens_list),
+        np.concatenate(feat_list),
+    )
+
+
+_JIT_CACHE: Dict = {}
+
+
+def _prop_density_jit(params, config, i):
+    import jax
+
+    key = ("prop", i, id(config))
+    if key not in _JIT_CACHE:
+        from ..fields.prop_field import prop_density
+
+        _JIT_CACHE[key] = jax.jit(
+            lambda p, x: prop_density(p["props"][i], config.prop(i), x)
+        )
+    return lambda x: _JIT_CACHE[key](params, x)
+
+
+def _field_density_jit(params, config):
+    import jax
+
+    key = ("field_density", id(config))
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(lambda p, x: field_density(p, config, x))
+    return lambda x: _JIT_CACHE[key](params, x)
+
+
+def _field_semantics_jit(params, config):
+    import jax
+
+    key = ("field_semantics", id(config))
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(lambda p, x: field_semantics(p, config, x))
+    return lambda x: _JIT_CACHE[key](params, x)
+
+
+def extract_voxels(
+    params: Dict,
+    config: NerfactoNuscMSConfig,
+    items,  # List[ImageMetadata] (train split, full resolution)
+    cameras: CameraParams,
+    pose_scale_factor: float,
+    origin: np.ndarray,  # (3,) pose_transformation from the dataparser
+    dino_to_rgb: Dict,
+    output_dir: Path,
+    frame_interval: int = 1,
+    camera_scaling_factor: float = 1.0,
+    voxel_size: float = 0.4,
+    max_depth: float = 50.0,
+    min_depth: float = 0.5,
+    hit_thr_ratio: float = 0.2,
+    depth_type: str = "depth",
+    use_segmentation_mask: bool = True,
+    mask_seg_classes=K.DEFAULT_MASK_SEG_CLASSES,
+    density_threshold: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Full extraction (extract_priors.py:33-208). `depth_type` 'depth' is
+    the reference's default CLI value mapped onto our output names."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.cameras import CameraParams as CP
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    depth_key = {"depth": "depth", "expected_depth": "expected_depth"}[depth_type]
+
+    # Downscale cameras (extract_priors.py:72-88).
+    if camera_scaling_factor != 1.0:
+        cameras = CP(
+            c2w=cameras.c2w,
+            fx=cameras.fx * camera_scaling_factor,
+            fy=cameras.fy * camera_scaling_factor,
+            cx=cameras.cx * camera_scaling_factor,
+            cy=cameras.cy * camera_scaling_factor,
+            video_ids=cameras.video_ids,
+        )
+
+    mask_ids = np.array([K.CITYSCAPE_CLASSES.index(c) for c in mask_seg_classes], np.uint8)
+
+    num_frames = len(items) // CAMERAS_PER_FRAME + 1
+    frame_ids = range(0, num_frames, frame_interval)
+    camera_indices: List[int] = []
+    for f in frame_ids:
+        camera_indices.extend(
+            range(CAMERAS_PER_FRAME * f, min(CAMERAS_PER_FRAME * (f + 1), len(items)))
+        )
+
+    all_points, all_dens, all_feats = [], [], []
+    rng = jax.random.PRNGKey(0)
+    for ci in camera_indices:
+        item = items[ci]
+        H = int(item.H * camera_scaling_factor)
+        W = int(item.W * camera_scaling_factor)
+        seg_valid = None
+        if use_segmentation_mask and item.seg_path is not None:
+            seg = item.load_segmentation()
+            if camera_scaling_factor != 1.0:
+                from ..data.image_metadata import _nearest_resize
+
+                seg = _nearest_resize(seg, H, W)
+            seg_valid = ~np.isin(seg, mask_ids)
+        result = extract_frame_points(
+            params, config, cameras, ci, H, W, seg_valid, pose_scale_factor,
+            rng, max_depth=max_depth, min_depth=min_depth, depth_type=depth_key,
+        )
+        if result is None:
+            continue
+        pts, dens, feats = result
+        all_points.append(pts)
+        all_dens.append(dens)
+        all_feats.append(feats)
+
+    points = np.concatenate(all_points)
+    dens = np.concatenate(all_dens)
+    feats = np.concatenate(all_feats)
+    print(f"num hit points before density thr: {len(points)}")
+    sel = dens > density_threshold
+    print(f"num hit points after density thr: {int(sel.sum())}")
+    points, feats = points[sel], feats[sel]
+    colors = np.asarray(apply_feature_colormap(feats.astype(np.float32), dino_to_rgb))
+
+    voxels = voxel_downsample(points, voxel_size, colors=colors, features=feats)
+    print(f"num voxels after downsample to {voxel_size}: {len(voxels['points'])}")
+    voxels = hit_quantile_filter(voxels, hit_thr_ratio)
+    print(f"num voxels after hit thr: {len(voxels['points'])}")
+
+    result = {
+        "points": voxels["points"].astype(np.float32),
+        "features": voxels["features"].astype(np.float16),
+        "colors": voxels["colors"].astype(np.float32),
+        "hits": voxels["hits"],
+        "origin": np.asarray(origin, np.float32),
+    }
+    out_path = output_dir / "extracted_priors.pkl"
+    with open(out_path, "wb") as f:
+        pickle.dump(result, f)
+    print(f"result saved to {out_path}")
+
+    write_ply(result["points"], result["colors"], output_dir / "priors_for_vis.ply")
+    return result
+
+
+def write_ply(points: np.ndarray, colors: np.ndarray, out_path: Path) -> None:
+    """ASCII PLY preview (extract_priors.py:248-269)."""
+    c = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
+    with open(out_path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(points)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uint8 red\nproperty uint8 green\nproperty uint8 blue\n"
+            "end_header\n"
+        )
+        for i in range(len(points)):
+            f.write(
+                f"{points[i, 0]:.3f} {points[i, 1]:.3f} {points[i, 2]:.3f} "
+                f"{c[i, 0]} {c[i, 1]} {c[i, 2]}\n"
+            )
