@@ -73,25 +73,102 @@ def apply_mlp(
     return x
 
 
+GROUP_BLOCK = 512  # rows per expert block in the grouped matmul
+
+
+def _blocked_layout(group_sizes: jnp.ndarray, n: int, block: int):
+    """Padded block layout for expert-grouped matmuls.
+
+    Each expert's contiguous run of sorted rows is padded up to a multiple
+    of ``block`` so every block belongs to exactly one expert. Returns
+    (dest (N,), block_expert (num_blocks,), n_pad) where ``dest`` maps
+    sorted row i to its padded slot.
+    """
+    e = group_sizes.shape[0]
+    # Static upper bound on padded length, rounded to a block multiple.
+    n_pad = (-(-n // block) + e) * block
+    padded_sizes = ((group_sizes + block - 1) // block) * block
+    pad_offsets = jnp.concatenate(
+        [jnp.zeros((1,), group_sizes.dtype), jnp.cumsum(padded_sizes)[:-1]]
+    )
+    orig_offsets = jnp.concatenate(
+        [jnp.zeros((1,), group_sizes.dtype), jnp.cumsum(group_sizes)[:-1]]
+    )
+    # expert of each sorted row, derived from offsets (rows >= offset_e).
+    row_ids = jnp.arange(n, dtype=group_sizes.dtype)
+    expert_of_row = jnp.sum(
+        row_ids[:, None] >= (orig_offsets + group_sizes)[None, :], axis=-1
+    ).astype(jnp.int32)
+    dest = pad_offsets[expert_of_row] + (row_ids - orig_offsets[expert_of_row])
+
+    num_blocks = n_pad // block
+    block_starts = jnp.arange(num_blocks, dtype=group_sizes.dtype) * block
+    block_expert = (
+        jnp.sum(block_starts[:, None] >= (pad_offsets + padded_sizes)[None, :], axis=-1)
+    ).astype(jnp.int32)
+    block_expert = jnp.minimum(block_expert, e - 1)
+    return dest, block_expert, n_pad
+
+
 def apply_mlp_grouped(
     params: Params,
     x: jnp.ndarray,
     group_sizes: jnp.ndarray,
     expert_ids_sorted: jnp.ndarray,
     out_activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    block: int = GROUP_BLOCK,
 ) -> jnp.ndarray:
     """Expert-grouped MLP over samples sorted by expert.
+
+    Implemented as a *blocked* grouped matmul: sorted rows are scattered
+    into per-expert block-aligned slabs (padding < block rows per expert),
+    each block gathers its expert's weights once, and the whole layer is one
+    batched einsum (num_blocks, block, in) x (num_blocks, in, out) that maps
+    straight onto the MXU. We deliberately avoid jax.lax.ragged_dot: on the
+    current TPU toolchain it lowers to a dense (E, N, out) one-hot
+    contraction — E-fold FLOPs *and* memory, which OOMs compilation at
+    PreSight's 16-expert scale.
 
     Args:
       params: stacked per-expert layers [(W (E,in,out), b (E,out)), ...].
       x: (N, in) inputs *sorted by expert id*.
       group_sizes: (E,) int32 — count of rows per expert (sums to N).
-      expert_ids_sorted: (N,) int32 — expert of each (sorted) row, used for
-        the bias gather.
+      expert_ids_sorted: (N,) int32 — expert of each (sorted) row.
       out_activation: optional final activation.
+      block: rows per block (expert-segment padding granularity).
 
     Returns (N, out).
     """
+    n = x.shape[0]
+    dest, block_expert, n_pad = _blocked_layout(group_sizes, n, block)
+    num_blocks = n_pad // block
+
+    h = jnp.zeros((n_pad, x.shape[-1]), x.dtype).at[dest].set(x)
+    num_layers = len(params)
+    for i, (w, b) in enumerate(params):
+        hb = h.reshape(num_blocks, block, -1)
+        wb = w.astype(x.dtype)[block_expert]  # (num_blocks, in, out)
+        bb = b.astype(x.dtype)[block_expert]  # (num_blocks, out)
+        hb = jnp.einsum("bik,bko->bio", hb, wb,
+                        preferred_element_type=x.dtype) + bb[:, None, :]
+        if i < num_layers - 1:
+            hb = jax.nn.relu(hb)
+        h = hb.reshape(n_pad, -1)
+    out = h[dest]
+    if out_activation is not None:
+        out = out_activation(out)
+    return out
+
+
+def apply_mlp_ragged(
+    params: Params,
+    x: jnp.ndarray,
+    group_sizes: jnp.ndarray,
+    expert_ids_sorted: jnp.ndarray,
+    out_activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """jax.lax.ragged_dot variant (kept for A/B testing; see
+    apply_mlp_grouped's docstring for why it is not the default)."""
     n = len(params)
     for i, (w, b) in enumerate(params):
         x = jax.lax.ragged_dot(x, w.astype(x.dtype), group_sizes)
