@@ -143,19 +143,45 @@ def sh_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
 
 def searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "right") -> jnp.ndarray:
     """Batched searchsorted: ``a`` (..., M) sorted along the last axis,
-    ``v`` (..., K); returns int32 insertion indices in [0, M].
+    ``v`` (..., K) *sorted along the last axis*; returns int32 insertion
+    indices in [0, M].
 
-    jnp.searchsorted only supports 1-D ``a``; for the row counts used here
-    (M ~ 65-130 bins) an all-pairs comparison is both simplest and fastest on
-    the TPU VPU (it is what jnp's method='compare_all' lowers to).
+    jnp.searchsorted only supports 1-D ``a``. Small problems use an
+    all-pairs comparison (one VPU pass); large ones use the stable-sort
+    rank trick — concatenate, argsort twice, subtract each v's own rank —
+    which is O(R*(M+K) log) memory instead of the O(R*M*K) boolean cube
+    (the cube is gigabytes at 65k rays x 130 bins x 65 queries).
+
+    Every internal caller (PDF sampler u's, interlevel bin edges, median
+    split, CDF interpolation knots) passes sorted ``v``.
     """
+    m = a.shape[-1]
+    k = v.shape[-1]
+    if m * k <= 16384:
+        if side == "right":
+            mask = a[..., :, None] <= v[..., None, :]
+        elif side == "left":
+            mask = a[..., :, None] < v[..., None, :]
+        else:
+            raise ValueError(f"invalid side {side!r}")
+        return jnp.sum(mask, axis=-2).astype(jnp.int32)
+
     if side == "right":
-        mask = a[..., :, None] <= v[..., None, :]
+        # Stable sort puts equal a's before v's -> rank counts a <= v.
+        comb = jnp.concatenate([a, v], axis=-1)
+        order = jnp.argsort(comb, axis=-1, stable=True)
+        ranks = jnp.argsort(order, axis=-1, stable=True)
+        rank_v = ranks[..., m:]
     elif side == "left":
-        mask = a[..., :, None] < v[..., None, :]
+        # v's first among equals -> rank counts a < v.
+        comb = jnp.concatenate([v, a], axis=-1)
+        order = jnp.argsort(comb, axis=-1, stable=True)
+        ranks = jnp.argsort(order, axis=-1, stable=True)
+        rank_v = ranks[..., :k]
     else:
         raise ValueError(f"invalid side {side!r}")
-    return jnp.sum(mask, axis=-2).astype(jnp.int32)
+    idx = rank_v - jnp.arange(k, dtype=rank_v.dtype)
+    return idx.astype(jnp.int32)
 
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

@@ -121,26 +121,24 @@ def sorted_interp_quad(
     x: jnp.ndarray, xp: jnp.ndarray, fpdf: jnp.ndarray, fcdf: jnp.ndarray
 ) -> jnp.ndarray:
     """Quadratic interpolation of a CDF defined by trapezoid-integrated pdf
-    knots (PreSight/losses.py:141-165). All inputs sorted along the last axis."""
-    # mask[..., j, i] = x_i >= xp_j
-    mask = x[..., None, :] >= xp[..., :, None]
+    knots (PreSight/losses.py:141-165; originally zip-NeRF stepfun's
+    searchsorted-based sorted_interp). All inputs sorted along the last
+    axis.
 
-    def find_interval(vals, return_idx=False):
-        # max over j where mask (largest xp <= x), min over j where ~mask.
-        big = jnp.where(mask, vals[..., None], vals[..., :1, None])
-        x0 = jnp.max(big, axis=-2)
-        x0_idx = jnp.argmax(big, axis=-2)
-        small = jnp.where(~mask, vals[..., None], vals[..., -1:, None])
-        x1 = jnp.min(small, axis=-2)
-        x1_idx = jnp.argmin(small, axis=-2)
-        if return_idx:
-            return x0, x1, x0_idx, x1_idx
-        return x0, x1
+    The torch port emulates searchsorted with O(K*M) max/min-over-mask
+    tensors; here the bracketing indices come straight from the batched
+    searchsorted (identical for strictly increasing knots, and O(R*(M+K))
+    memory instead of a multi-GB boolean cube at production ray counts)."""
+    i_right = searchsorted(xp, x, side="right")  # first xp > x
+    idx0 = jnp.clip(i_right - 1, 0, xp.shape[-1] - 1)
+    idx1 = jnp.clip(i_right, 0, xp.shape[-1] - 1)
 
-    fcdf0, fcdf1, fcdf0_idx, fcdf1_idx = find_interval(fcdf, return_idx=True)
-    fpdf0 = jnp.take_along_axis(fpdf, fcdf0_idx, axis=-1)
-    fpdf1 = jnp.take_along_axis(fpdf, fcdf1_idx, axis=-1)
-    xp0, xp1 = find_interval(xp)
+    fcdf0 = jnp.take_along_axis(fcdf, idx0, axis=-1)
+    fcdf1 = jnp.take_along_axis(fcdf, idx1, axis=-1)
+    fpdf0 = jnp.take_along_axis(fpdf, idx0, axis=-1)
+    fpdf1 = jnp.take_along_axis(fpdf, idx1, axis=-1)
+    xp0 = jnp.take_along_axis(xp, idx0, axis=-1)
+    xp1 = jnp.take_along_axis(xp, idx1, axis=-1)
 
     offset = jnp.clip(jnp.nan_to_num((x - xp0) / (xp1 - xp0)), 0.0, 1.0)
     return fcdf0 + (x - xp0) * (fpdf0 + fpdf1 * offset + fpdf0 * (1.0 - offset)) / 2.0
