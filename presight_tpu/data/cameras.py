@@ -76,6 +76,44 @@ def generate_rays(
     )
 
 
+def exp_map_so3xr3(deltas: jnp.ndarray) -> jnp.ndarray:
+    """(C, 6) [rho | omega] -> (C, 3, 4) adjustment transforms.
+
+    Reference spec: nerfstudio-0.3.3/nerfstudio/cameras/camera_optimizers.py
+    (SO3xR3 mode) + lie_groups.exp_map_SO3xR3: rotation = exp(hat(omega)),
+    translation = rho (no V-matrix coupling, unlike SE3). PreSight trains
+    with mode='off' (my_datamanager.py:81-84); this exists for parity with
+    the optional pose-refinement path.
+    """
+    rho = deltas[:, :3]
+    omega = deltas[:, 3:]
+    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-12)
+    axis = omega / theta
+    k = jnp.zeros((deltas.shape[0], 3, 3), deltas.dtype)
+    k = k.at[:, 0, 1].set(-axis[:, 2]).at[:, 0, 2].set(axis[:, 1])
+    k = k.at[:, 1, 0].set(axis[:, 2]).at[:, 1, 2].set(-axis[:, 0])
+    k = k.at[:, 2, 0].set(-axis[:, 1]).at[:, 2, 1].set(axis[:, 0])
+    theta = theta[..., None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=deltas.dtype), k.shape)
+    rot = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * (k @ k)
+    # Identity when omega ~ 0 (avoids 0/0 in axis).
+    small = jnp.linalg.norm(omega, axis=-1) < 1e-8
+    rot = jnp.where(small[:, None, None], eye, rot)
+    return jnp.concatenate([rot, rho[:, :, None]], axis=-1)
+
+
+def apply_camera_deltas(cameras: CameraParams, deltas: jnp.ndarray) -> CameraParams:
+    """Compose per-camera SO3xR3 adjustments into the c2w table
+    (camera_optimizers.py apply_to_raybundle semantics: rotate the camera
+    rotation, add the translation)."""
+    adj = exp_map_so3xr3(deltas)
+    rot = adj[:, :3, :3] @ cameras.c2w[:, :3, :3]
+    t = cameras.c2w[:, :3, 3] + adj[:, :3, 3]
+    c2w = jnp.concatenate([rot, t[:, :, None]], axis=-1)
+    return cameras.replace(c2w=c2w)
+
+
 def generate_camera_rays(cameras: CameraParams, camera_idx: int, height: int, width: int) -> RayBundle:
     """All pixels of one camera, row-major (eval / extraction path)."""
     rows = jnp.arange(height, dtype=jnp.int32)

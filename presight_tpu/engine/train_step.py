@@ -64,9 +64,15 @@ def make_train_step(
         rng: jax.Array,
         scalars: StepScalars,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        bundle = generate_rays(cameras, batch["ray_index"])
-
         def loss_fn(params):
+            cams = cameras
+            if "camera_opt" in params:
+                # Optional pose refinement (camera_optimizers.py SO3xR3);
+                # PreSight configs run mode='off' so this key is absent.
+                from ..data.cameras import apply_camera_deltas
+
+                cams = apply_camera_deltas(cameras, params["camera_opt"])
+            bundle = generate_rays(cams, batch["ray_index"])
             outputs = forward(
                 params, config, bundle, rng, scalars.anneal,
                 train=True, stop_prop_grad=stop_prop_grad,

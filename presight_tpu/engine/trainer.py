@@ -66,6 +66,11 @@ class TrainerConfig:
             "fields": OptimizerGroupConfig(),
         }
     )
+    gradient_accumulation_steps: int = 1
+    """Accumulate gradients over k micro-batches before each optimizer step
+    (reference trainer.py:475-481)."""
+    camera_optimizer_mode: str = "off"
+    """'off' (PreSight default, my_datamanager.py:81-84) or 'so3xr3'."""
     load_dir: Optional[Path] = None
 
     def run_dir(self) -> Path:
@@ -130,7 +135,19 @@ class Trainer:
             num_train_cameras=len(self.train_outputs.items),
             num_train_videos=self.train_outputs.num_videos,
         )
-        self.tx = make_optimizer(cfg.optimizers, param_groups(params))
+        if cfg.camera_optimizer_mode == "so3xr3":
+            params["camera_opt"] = jnp.zeros((len(self.train_outputs.items), 6),
+                                             jnp.float32)
+        labels = param_groups(params)
+        if "camera_opt" in params:
+            labels["camera_opt"] = "fields"
+        self.tx = make_optimizer(cfg.optimizers, labels)
+        if cfg.gradient_accumulation_steps > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=cfg.gradient_accumulation_steps
+            )
         self.state = init_train_state(params, self.tx)
         self.steps = TrainStepPair(model_cfg, self.tx)
         self.update_sched = ProposalUpdateSchedule(model_cfg)
