@@ -127,6 +127,14 @@ class Trainer:
         )
         self.cameras = make_camera_params(self.train_outputs.items)
 
+        # Eval split (empty when train_split_fraction == 1.0, as in the tile
+        # configs; the trainer then skips image-eval cadence).
+        self.eval_items = [it for it in self.train_outputs.all_items if it.is_val]
+        self.eval_cameras = (
+            make_camera_params(self.eval_items) if self.eval_items else None
+        )
+        self._image_renderer = None
+
         params = init_model(
             jax.random.PRNGKey(cfg.seed),
             model_cfg,
@@ -210,12 +218,37 @@ class Trainer:
                     cfg.max_num_iterations,
                 )
 
+            if (
+                self.eval_cameras is not None
+                and step > 0
+                and step % cfg.steps_per_eval_image == 0
+            ):
+                self._eval_image(step)
+
             if step > 0 and (step + 1) % cfg.steps_per_save == 0:
                 save_checkpoint(self.run_dir, step + 1, self.state)
 
         save_checkpoint(self.run_dir, cfg.max_num_iterations, self.state)
         self.datamanager.close()
         self.writer.close()
+
+    def _eval_image(self, step: int) -> None:
+        """Render one eval image and log PSNR/SSIM (trainer.py:513-547 /
+        my_pipeline.py:188-217 cadence)."""
+        from .evaluator import ImageRenderer, image_metrics
+
+        if self._image_renderer is None:
+            self._image_renderer = ImageRenderer(self.model_config)
+        idx = (step // self.config.steps_per_eval_image) % len(self.eval_items)
+        item = self.eval_items[idx]
+        outputs = self._image_renderer.render(
+            self.state.params, self.eval_cameras, idx, item.H, item.W
+        )
+        gt = item.load_image()
+        metrics = image_metrics(outputs["rgb"], gt, with_lpips=False)
+        self.writer.put_dict({f"eval_{k}": v for k, v in metrics.items()}, step)
+        print(f"eval image {idx} @ step {step}: psnr={metrics['psnr']:.2f} "
+              f"ssim={metrics['ssim']:.3f}", flush=True)
 
 
 def eval_setup(config_path: Path) -> Tuple[TrainerConfig, "Trainer"]:
