@@ -68,7 +68,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int):
     }
     tx = make_optimizer(groups, param_groups(params))
     state = init_train_state(params, tx)
-    step = make_train_step(config, tx, stop_prop_grad=False)
+    step = make_train_step(config, tx, stop_prop_grad=False, split_update=True)
 
     def batch_for(seed):
         r = np.random.RandomState(seed)

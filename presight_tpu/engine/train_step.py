@@ -49,13 +49,23 @@ def make_train_step(
     tx: optax.GradientTransformation,
     stop_prop_grad: bool,
     donate: bool = True,
+    split_update: bool = False,
 ):
     """Build one jitted train-step variant.
 
     Signature: (state, cameras, batch, rng, scalars) -> (state, metrics).
     ``batch`` must contain 'ray_index' (R,3) int32 and the supervision
     targets ('rgb', optionally 'sky', 'depth', 'features').
+
+    ``split_update`` compiles the backward pass and the optimizer update as
+    two separate XLA programs. The fused program at flagship scale
+    (16 experts, 2^20 tables) exceeds the TPU compile pipeline's capacity;
+    splitting halves the largest compilation unit at the cost of
+    materializing gradients in HBM between the two launches (which the fused
+    program does anyway at the grad/update boundary).
     """
+    if split_update:
+        return _make_split_train_step(config, tx, stop_prop_grad, donate)
 
     def step_fn(
         state: TrainState,
@@ -96,13 +106,67 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def _make_split_train_step(
+    config: NerfactoNuscMSConfig,
+    tx: optax.GradientTransformation,
+    stop_prop_grad: bool,
+    donate: bool,
+):
+    def grad_fn(
+        params: Dict,
+        cameras: CameraParams,
+        batch: Dict[str, jnp.ndarray],
+        rng: jax.Array,
+        scalars: StepScalars,
+    ):
+        def loss_fn(params):
+            cams = cameras
+            if "camera_opt" in params:
+                from ..data.cameras import apply_camera_deltas
+
+                cams = apply_camera_deltas(cameras, params["camera_opt"])
+            bundle = generate_rays(cams, batch["ray_index"])
+            outputs = forward(
+                params, config, bundle, rng, scalars.anneal,
+                train=True, stop_prop_grad=stop_prop_grad,
+            )
+            losses = compute_losses(outputs, batch, config, scalars.sigma, scalars.los_mult)
+            total = sum(losses.values())
+            mse = jnp.mean((outputs["rgb"] - batch["rgb"]) ** 2) if "rgb" in batch else 0.0
+            return total, (losses, mse)
+
+        (total, (losses, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        metrics = dict(losses)
+        metrics["total_loss"] = total
+        metrics["psnr"] = _psnr(mse)
+        return grads, metrics
+
+    def update_fn(state: TrainState, grads: Dict):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+
+    grad_jit = jax.jit(grad_fn)
+    update_jit = jax.jit(update_fn, donate_argnums=(0, 1) if donate else ())
+
+    def step_fn(state, cameras, batch, rng, scalars):
+        grads, metrics = grad_jit(state.params, cameras, batch, rng, scalars)
+        new_state = update_jit(state, grads)
+        return new_state, metrics
+
+    return step_fn
+
+
 class TrainStepPair:
     """The two compiled variants (proposal grads on/off) behind one call."""
 
-    def __init__(self, config: NerfactoNuscMSConfig, tx: optax.GradientTransformation):
+    def __init__(self, config: NerfactoNuscMSConfig, tx: optax.GradientTransformation,
+                 split_update: bool = False):
         self._steps = {
-            False: make_train_step(config, tx, stop_prop_grad=False),
-            True: make_train_step(config, tx, stop_prop_grad=True),
+            False: make_train_step(config, tx, stop_prop_grad=False,
+                                   split_update=split_update),
+            True: make_train_step(config, tx, stop_prop_grad=True,
+                                  split_update=split_update),
         }
 
     def __call__(self, state, cameras, batch, rng, scalars, stop_prop_grad: bool):
