@@ -578,6 +578,9 @@ class ProposalUpdateSchedule:
         return bool(is_updated)
 
     def step_cb(self, step: int, was_updated: bool) -> None:
-        self._steps_since_update += 1
+        # The reference resets the counter inside generate_ray_samples
+        # (before the AFTER-iteration increment), so an update iteration
+        # ends with the counter at 1, not 0.
         if was_updated:
             self._steps_since_update = 0
+        self._steps_since_update += 1
