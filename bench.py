@@ -119,11 +119,12 @@ def main():
     # Flagship shape: 16 experts x 2^20 tables (Boston tile). Fall back to
     # smaller footprints if HBM is insufficient.
     for num_experts, log2, num_rays in [
-        (16, 20, 65536),
-        (16, 20, 32768),
-        (16, 20, 16384),
-        (8, 20, 32768),
-        (4, 19, 32768),
+        (16, 20, 65536),   # reference flagship tile; needs ~15 GB optimizer
+                           # state alone -> typically multi-chip territory
+        (16, 19, 65536),   # single-chip flagship: same arch, half tables
+        (16, 19, 32768),
+        (8, 19, 32768),
+        (4, 18, 16384),
     ]:
         try:
             rays_per_sec, step_time, loss = bench_config(num_experts, log2, num_rays)

@@ -308,10 +308,14 @@ def forward(
             app[:, None, :], (num_rays, num_samples, app.shape[-1])
         ).reshape(-1, app.shape[-1])
 
-    def field_eval(field_params, positions, directions, app_flat):
-        """Route -> density/rgb/semantics, unsorted outputs. Checkpointed so
-        the backward pass recomputes the hash gathers instead of storing the
-        per-corner features."""
+    deltas = ray_samples.deltas()
+
+    def field_eval(field_params, positions, directions, app_flat, deltas):
+        """Route -> field heads -> volume-render, all inside one (optionally
+        checkpointed) region. Rendering inside the boundary matters: the
+        residuals crossing it are per-RAY composites (R x {3, 64, S}) instead
+        of per-SAMPLE features (R*S x 64 alone is ~4 GB at 65k rays), so
+        rematerialization makes activation memory ray-bounded."""
         routing = route_positions(positions, field_params["centroids"])
         pos_sorted = positions[routing.order]
         density_s, geo_s, sem_s = density_and_embedding_sorted(
@@ -321,26 +325,28 @@ def forward(
             field_params, fcfg, directions[routing.order], geo_s,
             None if app_flat is None else app_flat[routing.order], routing,
         )
-        sem_out = None
+        density = density_s[routing.inverse].reshape(num_rays, num_samples)
+        rgb_samples = rgb_s[routing.inverse].reshape(num_rays, num_samples, 3)
+        weights = get_weights(deltas, density)
+        rgb = render_rgb(rgb_samples, weights)
+        semantics = None
         if fcfg.use_semantics:
             sem_feats = semantics_sorted(field_params, fcfg, sem_s, routing)
-            sem_out = sem_feats[routing.inverse]
-        return density_s[routing.inverse], rgb_s[routing.inverse], sem_out
+            sem_samples = sem_feats[routing.inverse].reshape(
+                num_rays, num_samples, -1
+            )
+            semantics = render_semantics(sem_samples, weights)
+        return weights, rgb, semantics
 
     if config.remat:
         field_eval = jax.checkpoint(field_eval)
 
-    density_f, rgb_f, sem_f = field_eval(
-        params["field"], positions, directions, app_flat
+    weights, rgb, semantics_ray = field_eval(
+        params["field"], positions, directions, app_flat, deltas
     )
-    density = density_f.reshape(num_rays, num_samples)
-    rgb_samples = rgb_f.reshape(num_rays, num_samples, 3)
-
-    weights = get_weights(ray_samples.deltas(), density)
     weights_list = weights_list + [weights]
     ray_samples_list = ray_samples_list + [ray_samples]
 
-    rgb = render_rgb(rgb_samples, weights)
     depth = jax.lax.stop_gradient(render_depth_median(weights, ray_samples))
     expected_depth = render_depth_expected(weights, ray_samples)
     accumulation = jnp.clip(render_accumulation(weights), 0.0, 1.0)
@@ -377,8 +383,7 @@ def forward(
     )
 
     if config.use_semantics:
-        sem_samples = sem_f.reshape(num_rays, num_samples, -1)
-        semantics = render_semantics(sem_samples, weights)
+        semantics = semantics_ray
         if config.use_sky_model and "sky_semantics" in outputs:
             semantics = semantics + (1.0 - accumulation)[:, None] * outputs["sky_semantics"]
         outputs["semantics"] = semantics
