@@ -1,3 +1,11 @@
 """Mesh/sharding specs for multi-chip training."""
 
-from .mesh import data_sharded, make_mesh, replicate, replicated, shard_batch
+from .mesh import (
+    data_sharded,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+    shard_opt_state,
+    shard_train_state,
+)

@@ -52,3 +52,38 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params / cameras) across the mesh."""
     spec = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), tree)
+
+
+def shard_opt_state(mesh: Mesh, opt_state, min_size: int = 1 << 20):
+    """ZeRO-1-style optimizer-state sharding: large Adam moment tensors are
+    split on their leading axis across the data mesh axis; small leaves stay
+    replicated.
+
+    With parameters replicated and moments sharded, XLA computes each
+    chip's moment shard from the (all-reduced) gradients and all-gathers the
+    parameter update — per-chip optimizer memory drops by the mesh size,
+    which is what lets the 16-expert x 2^20-table flagship (15 GB of fp32
+    Adam state) fit on 16 GB v5e chips. The reference has no equivalent
+    (single-GPU state on a 40 GB A100).
+    """
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def place(x):
+        if (
+            hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
+            and x.size >= min_size
+        ):
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(place, opt_state)
+
+
+def shard_train_state(mesh: Mesh, state):
+    """Replicate params/step, ZeRO-shard the optimizer state."""
+    return state._replace(
+        params=replicate(mesh, state.params),
+        opt_state=shard_opt_state(mesh, state.opt_state),
+        step=jax.device_put(state.step, replicated(mesh)),
+    )

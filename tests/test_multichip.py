@@ -60,3 +60,52 @@ def test_sharded_step_matches_unsharded():
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_zero_sharded_opt_state_matches():
+    """ZeRO-1 moment sharding must not change the update."""
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.engine import (
+        OptimizerGroupConfig,
+        StepScalars,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from presight_tpu.models import init_model, param_groups
+    from presight_tpu.parallel import make_mesh, replicate, shard_batch, shard_train_state
+    from tests.test_train_smoke import make_batch, synthetic_scene, tiny_config
+
+    config = tiny_config()
+    aabbs = np.array([[[-10, -10, -10], [10, 10, 10]]], np.float32)
+    centroids = np.zeros((1, 3), np.float32)
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids, 4, 1)
+    cameras = synthetic_scene()
+    batch = make_batch(cameras, 64, np.random.RandomState(0))
+
+    groups = {"proposal_networks": OptimizerGroupConfig(), "fields": OptimizerGroupConfig()}
+    tx = make_optimizer(groups, param_groups(params))
+    step = make_train_step(config, tx, stop_prop_grad=False, donate=False,
+                           split_update=True)
+    scalars = StepScalars(jnp.asarray(1.0), jnp.asarray(5.0), jnp.asarray(0.0))
+    key = jax.random.PRNGKey(7)
+
+    state1 = init_train_state(params, tx)
+    state1, _ = step(state1, cameras, batch, key, scalars)
+
+    mesh = make_mesh(8)
+    state2 = shard_train_state(mesh, init_train_state(params, tx))
+    # min_size=0 so even tiny test tensors shard
+    from presight_tpu.parallel import shard_opt_state
+
+    state2 = state2._replace(opt_state=shard_opt_state(mesh, state2.opt_state,
+                                                       min_size=0))
+    cameras_r = replicate(mesh, cameras)
+    batch_s = shard_batch(mesh, batch)
+    state2, _ = step(state2, cameras_r, batch_s, key, scalars)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
