@@ -63,6 +63,8 @@ class NerfactoNuscMSConfig:
     proposal_update_every: int = 5
     proposal_warmup: int = 1000
     num_proposal_iterations: int = 2
+    use_same_proposal_network: bool = False
+    """Share one proposal field across both rounds (nerfacto_nusc_ms.py:263-276)."""
     proposal_net_args_list: Tuple[Dict, ...] = (
         dict(features_per_level=1, log2_hashmap_size=20, num_levels=8,
              base_res=16, max_res=1024),
@@ -173,11 +175,12 @@ def init_model(
     def buf(x):
         return jnp.array(x, jnp.float32)
 
+    num_prop_fields = 1 if config.use_same_proposal_network else config.num_proposal_iterations
     params = {
         "field": init_ingp_field(keys[0], config.field, num_experts, buf(aabbs), buf(centroids)),
         "props": [
             init_prop_field(keys[1 + i], config.prop(i), num_experts, buf(aabbs), buf(centroids))
-            for i in range(config.num_proposal_iterations)
+            for i in range(num_prop_fields)
         ],
     }
     if config.use_sky_model:
@@ -255,12 +258,16 @@ def apply_collider(bundle: RayBundle, config: NerfactoNuscMSConfig) -> RayBundle
 
 def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
     def make(i):
+        # With use_same_proposal_network, every round evaluates prop field 0
+        # (nerfacto_nusc_ms.py:263-276).
+        field_idx = 0 if config.use_same_proposal_network else i
+
         def fn(prop_params, positions):
-            return prop_density(prop_params, config.prop(i), positions)
+            return prop_density(prop_params, config.prop(field_idx), positions)
 
         if config.remat:
             fn = jax.checkpoint(fn)
-        return lambda positions: fn(params["props"][i], positions)
+        return lambda positions: fn(params["props"][field_idx], positions)
 
     return [make(i) for i in range(config.num_proposal_iterations)]
 
