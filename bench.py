@@ -106,12 +106,16 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20):
     jax.block_until_ready(metrics["total_loss"])
 
     t0 = time.perf_counter()
+    loss = 0.0
     for i in range(iters):
         key, sub = jax.random.split(key)
         state, metrics = step(state, cameras, batches[i % len(batches)], sub, scalars)
-    jax.block_until_ready(metrics["total_loss"])
+        # Force a real device->host fetch: on this runtime block_until_ready
+        # can return before remote execution has drained, so only a value
+        # readout gives honest step timing (and bounds in-flight memory).
+        loss = float(metrics["total_loss"])
     dt = (time.perf_counter() - t0) / iters
-    return num_rays / dt, dt, float(metrics["total_loss"])
+    return num_rays / dt, dt, loss
 
 
 def main():

@@ -157,7 +157,12 @@ def searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "right") -> jnp.nda
     """
     m = a.shape[-1]
     k = v.shape[-1]
-    if m * k <= 16384:
+    rows = 1
+    for d in a.shape[:-1]:
+        rows *= d
+    # Boolean-cube size is rows*m*k; switch to the sort path once it would
+    # exceed ~16M elements.
+    if rows * m * k <= (1 << 24):
         if side == "right":
             mask = a[..., :, None] <= v[..., None, :]
         elif side == "left":
