@@ -62,13 +62,26 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int):
         video_ids=jnp.asarray(rng.randint(0, num_videos, num_cameras).astype(np.int32)),
     )
 
+    from presight_tpu.engine import TrainStepPair
+    from presight_tpu.models import ProposalUpdateSchedule
+
     groups = {
         "proposal_networks": OptimizerGroupConfig(),
         "fields": OptimizerGroupConfig(),
     }
     tx = make_optimizer(groups, param_groups(params))
     state = init_train_state(params, tx)
-    step = make_train_step(config, tx, stop_prop_grad=False, split_update=True)
+    steps = TrainStepPair(config, tx, split_update=True)
+    sched = ProposalUpdateSchedule(config)
+    step_state = {"i": 1000}  # steady-state step counter (past warmup)
+
+    def step(state, cameras, batch, rng, scalars):
+        i = step_state["i"]
+        updated = sched.updated(i)
+        out = steps(state, cameras, batch, rng, scalars, stop_prop_grad=not updated)
+        sched.step_cb(i, updated)
+        step_state["i"] = i + 1
+        return out
 
     def batch_for(seed):
         r = np.random.RandomState(seed)
@@ -99,11 +112,12 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20):
         num_experts, log2_hashmap_size, num_rays
     )
     key = jax.random.PRNGKey(0)
-    batches = [batch_for(i) for i in range(4)]
-    # Warmup / compile.
-    key, sub = jax.random.split(key)
-    state, metrics = step(state, cameras, batches[0], sub, scalars)
-    jax.block_until_ready(metrics["total_loss"])
+    batches = [batch_for(i) for i in range(6)]
+    # Warmup / compile both schedule variants (prop grads on/off).
+    for _ in range(7):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, cameras, batches[0], sub, scalars)
+    _ = float(metrics["total_loss"])
 
     t0 = time.perf_counter()
     loss = 0.0
