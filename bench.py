@@ -22,7 +22,7 @@ _setup_jax()
 BASELINE_RAYS_PER_SEC = 91_022.0  # 65536 * 100000 / 72000s, 1x A100
 
 
-def build(num_experts: int, log2_hashmap_size: int, num_rays: int):
+def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str = "corner"):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int):
         piecewise_sampler_threshold=100.0 * pose_rescale,
         log2_hashmap_size=log2_hashmap_size,
         pose_scale_factor=pose_rescale,
+        hash_storage=storage,
     )
     rng = np.random.RandomState(0)
     centroids = (rng.randn(num_experts, 3) * 2).astype(np.float32)
@@ -105,11 +106,11 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int):
     return step, state, cameras, batch_for, scalars
 
 
-def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20):
+def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20, storage="corner"):
     import jax
 
     step, state, cameras, batch_for, scalars = build(
-        num_experts, log2_hashmap_size, num_rays
+        num_experts, log2_hashmap_size, num_rays, storage
     )
     key = jax.random.PRNGKey(0)
     batches = [batch_for(i) for i in range(6)]
@@ -134,27 +135,30 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20):
 
 def main():
     results = []
-    # Flagship shape: 16 experts x 2^20 tables (Boston tile). Fall back to
-    # smaller footprints if HBM is insufficient.
-    for num_experts, log2, num_rays in [
-        (16, 20, 65536),   # reference flagship tile; needs ~15 GB optimizer
-                           # state alone -> typically multi-chip territory
-        (16, 19, 65536),   # single-chip flagship: same arch, half tables
-        (16, 19, 32768),
-        (8, 19, 32768),
-        (4, 18, 16384),
+    # Full tile architecture (hollandvillage tile shape: 8 experts, 2^20
+    # tables) in both table layouts; 'cell' is the TPU-first layout
+    # (PERFORMANCE.md). Ladder falls back on compile/HBM limits.
+    for storage, num_experts, log2, num_rays in [
+        ("cell", 8, 20, 16384),
+        ("cell", 8, 20, 8192),
+        ("corner", 8, 20, 8192),
+        ("cell", 4, 18, 8192),
+        ("corner", 4, 18, 4096),
     ]:
         try:
-            rays_per_sec, step_time, loss = bench_config(num_experts, log2, num_rays)
+            rays_per_sec, step_time, loss = bench_config(
+                num_experts, log2, num_rays, iters=10, storage=storage
+            )
             results.append((rays_per_sec, num_experts, log2, num_rays, step_time))
             print(
-                f"# E={num_experts} log2={log2} rays={num_rays}: "
+                f"# {storage} E={num_experts} log2={log2} rays={num_rays}: "
                 f"{rays_per_sec:,.0f} rays/s ({step_time*1e3:.1f} ms/step, loss={loss:.3f})",
                 file=sys.stderr,
             )
-            break  # first (largest) config that fits is the flagship number
+            if len(results) >= 2:
+                break
         except Exception as e:  # noqa: BLE001 - OOM fallback
-            print(f"# E={num_experts} log2={log2} rays={num_rays} failed: "
+            print(f"# {storage} E={num_experts} log2={log2} rays={num_rays} failed: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             continue
 

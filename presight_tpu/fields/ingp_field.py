@@ -50,6 +50,7 @@ class INGPFieldConfig:
     semantic_dim: int = 64
     hidden_dim_semantic_head: int = 64
     hash_init_scale: float = 1e-4
+    hash_storage: str = "corner"
 
     @property
     def hash(self) -> HashEncodingConfig:
@@ -60,6 +61,7 @@ class INGPFieldConfig:
             log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
             hash_init_scale=self.hash_init_scale,
+            storage=self.hash_storage,
         )
 
     @property

@@ -30,6 +30,7 @@ class PropFieldConfig:
     num_layers: int = 2
     hidden_dim: int = 64
     hash_init_scale: float = 1e-4
+    hash_storage: str = "corner"
 
     @property
     def hash(self) -> HashEncodingConfig:
@@ -40,6 +41,7 @@ class PropFieldConfig:
             log2_hashmap_size=self.log2_hashmap_size,
             features_per_level=self.features_per_level,
             hash_init_scale=self.hash_init_scale,
+            storage=self.hash_storage,
         )
 
 

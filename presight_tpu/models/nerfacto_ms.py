@@ -104,6 +104,9 @@ class NerfactoNuscMSConfig:
     monodepth_depth_upperbound: float = 40.0
     pose_scale_factor: float = 1.0  # dataparser metadata, static per run
     compute_dtype: str = "float32"
+    hash_storage: str = "corner"
+    """'corner' = reference-exact iNGP rows; 'cell' = TPU-first one-row-per-
+    cell layout (8x fewer row gathers/scatters; see ops/hash_encoding.py)."""
     remat: bool = True
     """Rematerialize field evaluations in the backward pass. The hash-grid
     gather's saved corner features dominate activation memory (8 corners x
@@ -128,6 +131,7 @@ class NerfactoNuscMSConfig:
             appearance_embedding_dim=self.appearance_dim,
             use_semantics=self.use_semantics,
             semantic_dim=self.semantic_dim,
+            hash_storage=self.hash_storage,
         )
 
     def prop(self, i: int) -> PropFieldConfig:
@@ -138,6 +142,7 @@ class NerfactoNuscMSConfig:
             max_res=args["max_res"],
             log2_hashmap_size=args["log2_hashmap_size"],
             features_per_level=args["features_per_level"],
+            hash_storage=self.hash_storage,
         )
 
     @property
