@@ -37,11 +37,21 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     from presight_tpu.models import NerfactoNuscMSConfig, init_model, param_groups
 
     pose_rescale = 0.05
+    # Cell storage packs 8 corner feature sets per row; log2-3 gives the same
+    # parameter count as the corner layout at log2.
+    log2_eff = log2_hashmap_size - 3 if storage == "cell" else log2_hashmap_size
+    prop_log2 = 17 if storage == "cell" else 20
     config = NerfactoNuscMSConfig(
         near_plane=0.1 * pose_rescale,
         far_plane=1000.0 * pose_rescale,
         piecewise_sampler_threshold=100.0 * pose_rescale,
-        log2_hashmap_size=log2_hashmap_size,
+        log2_hashmap_size=log2_eff,
+        proposal_net_args_list=(
+            dict(features_per_level=1, log2_hashmap_size=prop_log2, num_levels=8,
+                 base_res=16, max_res=1024),
+            dict(features_per_level=1, log2_hashmap_size=prop_log2, num_levels=8,
+                 base_res=16, max_res=4096),
+        ),
         pose_scale_factor=pose_rescale,
         hash_storage=storage,
     )
