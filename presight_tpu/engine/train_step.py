@@ -111,7 +111,35 @@ def _make_split_train_step(
     tx: optax.GradientTransformation,
     stop_prop_grad: bool,
     donate: bool,
+    microbatch_rays: int = 4096,
 ):
+    """Grad and update as separate programs, with the ray batch processed in
+    fixed-size microbatches under lax.scan.
+
+    Microbatching matters twice on this toolchain: (a) the compile pipeline
+    cannot handle the fully-unrolled program beyond ~4k rays (each ray-count
+    variant adds dozens of sort stages), and scan reuses one compiled body;
+    (b) activation memory becomes microbatch-bounded. Loss semantics match
+    the reference's DDP training, which also averages per-shard (masked)
+    means (my_pipeline.py:121-124).
+    """
+
+    def one_chunk_loss(params, cameras, chunk, rng, scalars):
+        cams = cameras
+        if "camera_opt" in params:
+            from ..data.cameras import apply_camera_deltas
+
+            cams = apply_camera_deltas(cameras, params["camera_opt"])
+        bundle = generate_rays(cams, chunk["ray_index"])
+        outputs = forward(
+            params, config, bundle, rng, scalars.anneal,
+            train=True, stop_prop_grad=stop_prop_grad,
+        )
+        losses = compute_losses(outputs, chunk, config, scalars.sigma, scalars.los_mult)
+        total = sum(losses.values())
+        mse = jnp.mean((outputs["rgb"] - chunk["rgb"]) ** 2) if "rgb" in chunk else 0.0
+        return total, (losses, mse)
+
     def grad_fn(
         params: Dict,
         cameras: CameraParams,
@@ -119,23 +147,55 @@ def _make_split_train_step(
         rng: jax.Array,
         scalars: StepScalars,
     ):
-        def loss_fn(params):
-            cams = cameras
-            if "camera_opt" in params:
-                from ..data.cameras import apply_camera_deltas
+        num_rays = batch["ray_index"].shape[0]
+        micro = min(microbatch_rays, num_rays)
+        if num_rays % micro != 0:
+            micro = num_rays  # fall back to one chunk for odd sizes
+        k = num_rays // micro
 
-                cams = apply_camera_deltas(cameras, params["camera_opt"])
-            bundle = generate_rays(cams, batch["ray_index"])
-            outputs = forward(
-                params, config, bundle, rng, scalars.anneal,
-                train=True, stop_prop_grad=stop_prop_grad,
+        vg = jax.value_and_grad(one_chunk_loss, has_aux=True)
+
+        if k == 1:
+            (total, (losses, mse)), grads = vg(params, cameras, batch, rng, scalars)
+        else:
+            chunked = {
+                key: v.reshape(k, micro, *v.shape[1:]) for key, v in batch.items()
+            }
+            rngs = jax.random.split(rng, k)
+
+            def body(carry, xs):
+                grads_acc, total_acc, losses_acc, mse_acc = carry
+                chunk, chunk_rng = xs
+                (total_c, (losses_c, mse_c)), grads_c = vg(
+                    params, cameras, chunk, chunk_rng, scalars
+                )
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_c)
+                losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses_c)
+                return (grads_acc, total_acc + total_c, losses_acc, mse_acc + mse_c), None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+            # Trace once to get the loss-dict structure for the accumulator.
+            loss_struct = jax.eval_shape(
+                lambda: one_chunk_loss(
+                    params, cameras,
+                    {key: v[0] for key, v in chunked.items()},
+                    rngs[0], scalars,
+                )[1][0]
             )
-            losses = compute_losses(outputs, batch, config, scalars.sigma, scalars.los_mult)
-            total = sum(losses.values())
-            mse = jnp.mean((outputs["rgb"] - batch["rgb"]) ** 2) if "rgb" in batch else 0.0
-            return total, (losses, mse)
+            zero_losses = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), loss_struct
+            )
+            (grads, total, losses, mse), _ = jax.lax.scan(
+                body,
+                (zero_grads, jnp.asarray(0.0), zero_losses, jnp.asarray(0.0)),
+                (chunked, rngs),
+            )
+            inv = 1.0 / k
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            total = total * inv
+            losses = jax.tree_util.tree_map(lambda x: x * inv, losses)
+            mse = mse * inv
 
-        (total, (losses, mse)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         metrics = dict(losses)
         metrics["total_loss"] = total
         metrics["psnr"] = _psnr(mse)
