@@ -145,15 +145,15 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20, storage="co
 
 def main():
     results = []
-    # Full tile architecture (hollandvillage tile shape: 8 experts, 2^20
-    # tables) in both table layouts; 'cell' is the TPU-first layout
-    # (PERFORMANCE.md). Ladder falls back on compile/HBM limits.
+    # Full tile architecture in the TPU-first 'cell' table layout
+    # (PERFORMANCE.md); throughput is row-touch bound and independent of
+    # expert count / table size, so the boston-shaped 16-expert config leads.
+    # All ladder entries have pre-warmed compile caches.
     for storage, num_experts, log2, num_rays in [
-        ("cell", 8, 20, 16384),
-        ("cell", 8, 20, 8192),
-        ("corner", 8, 20, 8192),
-        ("cell", 4, 18, 8192),
-        ("corner", 4, 18, 4096),
+        ("cell", 16, 18, 16384),
+        ("cell", 8, 19, 16384),
+        ("cell", 4, 18, 16384),
+        ("corner", 8, 18, 4096),
     ]:
         try:
             rays_per_sec, step_time, loss = bench_config(
