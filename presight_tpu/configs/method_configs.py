@@ -152,6 +152,33 @@ def _synthetic_demo() -> TrainerConfig:
     )
 
 
+def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
+    """TPU-first variant of a tile config (PERFORMANCE.md): cell-based table
+    layout at matched parameter count (log2-3) and a 5-level x 8-feature
+    encoding split (same 40-dim encoding, half the row touches). Same
+    capabilities and losses; throughput-optimized for v5e's per-row
+    gather/scatter cost."""
+    model = dataclasses.replace(
+        cfg.pipeline.model,
+        hash_storage="cell",
+        log2_hashmap_size=cfg.pipeline.model.log2_hashmap_size - 3,
+        num_levels=5,
+        features_per_level=8,
+        proposal_net_args_list=(
+            dict(features_per_level=2, log2_hashmap_size=17, num_levels=4,
+                 base_res=16, max_res=1024),
+            dict(features_per_level=2, log2_hashmap_size=17, num_levels=4,
+                 base_res=16, max_res=4096),
+        ),
+    )
+    return dataclasses.replace(
+        cfg,
+        experiment_name=cfg.experiment_name + "-tpu",
+        method_name=cfg.method_name + "-tpu",
+        pipeline=dataclasses.replace(cfg.pipeline, model=model),
+    )
+
+
 def build_method_configs() -> Dict[str, TrainerConfig]:
     configs: Dict[str, TrainerConfig] = {}
     for location, (num_tiles, num_aabbs) in _TILES.items():
@@ -159,6 +186,8 @@ def build_method_configs() -> Dict[str, TrainerConfig]:
             for i in range(num_tiles):
                 cfg = _tile_config(location, i, num_aabbs, depth)
                 configs[cfg.experiment_name] = cfg
+                tpu_cfg = _tpu_profile(cfg)
+                configs[tpu_cfg.experiment_name] = tpu_cfg
     configs["synthetic-demo"] = _synthetic_demo()
     return configs
 
