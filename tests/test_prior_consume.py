@@ -119,3 +119,29 @@ def test_prior_fusion_modules():
     out3 = m3d.apply(variables, bev3, prior_feats, coords, valid)
     assert out3.shape == (bs, 24, 16, 16, 8)
     assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_prior_fusion_crossattn():
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.models.window_attention import PriorFusion3DCrossAttn
+
+    pc_range = [-8.0, -8.0, -2.0, 8.0, 8.0, 2.0]
+    voxel_size = [0.5, 0.5, 0.5]  # grid 32 x 32 x 8
+    rng = np.random.RandomState(0)
+    bs, V, C = 2, 48, 68
+    prior_feats = jnp.asarray(rng.rand(bs, V, C).astype(np.float32))
+    coords = jnp.asarray(
+        np.stack([rng.randint(0, 8, (bs, V)), rng.randint(0, 32, (bs, V)),
+                  rng.randint(0, 32, (bs, V))], -1).astype(np.int32))
+    valid = jnp.asarray(rng.rand(bs, V) > 0.2)
+    m = PriorFusion3DCrossAttn(pc_range, voxel_size, bev_hidden_channels=32,
+                               prior_in_channels=C, prior_voxel_hidden_channels=16,
+                               out_num_z=8, out_channels=12, num_bev_win=4,
+                               bev_h=16, bev_w=16)
+    bev = jnp.asarray(rng.rand(bs, 12, 16, 16, 8).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), bev, prior_feats, coords, valid)
+    out = m.apply(variables, bev, prior_feats, coords, valid)
+    assert out.shape == (bs, 12, 16, 16, 8)
+    assert np.isfinite(np.asarray(out)).all()
