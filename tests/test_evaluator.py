@@ -59,3 +59,22 @@ def test_image_renderer_full_image():
     # Deterministic (eval path, no stratification).
     out2 = renderer.render(params, cameras, 0, 12, 18)
     np.testing.assert_allclose(out["rgb"], out2["rgb"], rtol=1e-6)
+
+
+def test_occ_miou_metric():
+    """MetricMIoU vs hand-computed confusion (occ_metrics.py semantics)."""
+    from presight_tpu.utils.occ_metrics import MetricMIoU
+
+    m = MetricMIoU(num_classes=3)
+    gt = np.array([0, 0, 1, 1, 2, 2, 255])   # 255 = ignore
+    pred = np.array([0, 1, 1, 1, 2, 0, 0])
+    m.add_batch(pred, gt)
+    ious = m.per_class_iou()
+    # class 0: tp=1, fn=1, fp=1 -> 1/3 ; class 1: tp=2, fp=1 -> 2/3 ; class 2: tp=1, fn=1 -> 1/2
+    np.testing.assert_allclose(ious, [1/3, 2/3, 1/2], rtol=1e-9)
+    # exclude the last ('free') class from the mean
+    np.testing.assert_allclose(m.miou(), 100 * (1/3 + 2/3) / 2, rtol=1e-9)
+    # camera-mask variant drops masked voxels
+    m2 = MetricMIoU(num_classes=3, use_image_mask=True)
+    m2.add_batch(pred, gt, mask_camera=np.array([1, 1, 1, 1, 0, 0, 0]))
+    np.testing.assert_allclose(m2.per_class_iou()[:2], [1/2, 2/3], rtol=1e-9)
