@@ -157,7 +157,9 @@ class Trainer:
                 self.tx, every_k_schedule=cfg.gradient_accumulation_steps
             )
         self.state = init_train_state(params, self.tx)
-        self.steps = TrainStepPair(model_cfg, self.tx)
+        # split_update + scan microbatching: required at tile scale on TPU
+        # (compile-pipeline capacity; PERFORMANCE.md), harmless elsewhere.
+        self.steps = TrainStepPair(model_cfg, self.tx, split_update=True)
         self.update_sched = ProposalUpdateSchedule(model_cfg)
         self.writer = Writer(self.run_dir)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
