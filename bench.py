@@ -37,24 +37,43 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     from presight_tpu.models import NerfactoNuscMSConfig, init_model, param_groups
 
     pose_rescale = 0.05
-    # Cell storage packs 8 corner feature sets per row; log2-3 gives the same
-    # parameter count as the corner layout at log2.
-    log2_eff = log2_hashmap_size - 3 if storage == "cell" else log2_hashmap_size
-    prop_log2 = 17 if storage == "cell" else 20
-    config = NerfactoNuscMSConfig(
+    common = dict(
         near_plane=0.1 * pose_rescale,
         far_plane=1000.0 * pose_rescale,
         piecewise_sampler_threshold=100.0 * pose_rescale,
-        log2_hashmap_size=log2_eff,
-        proposal_net_args_list=(
-            dict(features_per_level=1, log2_hashmap_size=prop_log2, num_levels=8,
-                 base_res=16, max_res=1024),
-            dict(features_per_level=1, log2_hashmap_size=prop_log2, num_levels=8,
-                 base_res=16, max_res=4096),
-        ),
         pose_scale_factor=pose_rescale,
-        hash_storage=storage,
     )
+    if storage == "tpu-profile":
+        # The shipped -tpu method-config profile: cell layout at matched
+        # parameter count, 5 levels x 8 features (configs/method_configs.py
+        # _tpu_profile).
+        config = NerfactoNuscMSConfig(
+            hash_storage="cell", log2_hashmap_size=16, num_levels=5,
+            features_per_level=8,
+            proposal_net_args_list=(
+                dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
+                     base_res=16, max_res=1024),
+                dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
+                     base_res=16, max_res=4096),
+            ),
+            **common,
+        )
+    else:
+        # Cell storage packs 8 corner feature sets per row; log2-3 gives the
+        # same parameter count as the corner layout at log2.
+        log2_eff = log2_hashmap_size - 3 if storage == "cell" else log2_hashmap_size
+        prop_log2 = 17 if storage == "cell" else 20
+        config = NerfactoNuscMSConfig(
+            log2_hashmap_size=log2_eff,
+            proposal_net_args_list=(
+                dict(features_per_level=1, log2_hashmap_size=prop_log2, num_levels=8,
+                     base_res=16, max_res=1024),
+                dict(features_per_level=1, log2_hashmap_size=prop_log2, num_levels=8,
+                     base_res=16, max_res=4096),
+            ),
+            hash_storage=storage,
+            **common,
+        )
     rng = np.random.RandomState(0)
     centroids = (rng.randn(num_experts, 3) * 2).astype(np.float32)
     aabbs = np.stack([np.stack([c - 5.0, c + 5.0]) for c in centroids]).astype(np.float32)
@@ -82,7 +101,8 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     }
     tx = make_optimizer(groups, param_groups(params))
     state = init_train_state(params, tx)
-    steps = TrainStepPair(config, tx, split_update=True)
+    steps = TrainStepPair(config, tx, split_update=True,
+                          microbatch_rays=2048 if storage == "tpu-profile" else 4096)
     sched = ProposalUpdateSchedule(config)
     step_state = {"i": 1000}  # steady-state step counter (past warmup)
 
@@ -150,14 +170,14 @@ def main():
     # expert count / table size, so the boston-shaped 16-expert config leads.
     # All ladder entries have pre-warmed compile caches.
     for storage, num_experts, log2, num_rays in [
+        ("tpu-profile", 16, 20, 16384),
         ("cell", 16, 18, 16384),
         ("cell", 8, 19, 16384),
-        ("cell", 4, 18, 16384),
         ("corner", 8, 18, 4096),
     ]:
         try:
             rays_per_sec, step_time, loss = bench_config(
-                num_experts, log2, num_rays, iters=10, storage=storage
+                num_experts, log2, num_rays, iters=6, storage=storage
             )
             results.append((rays_per_sec, num_experts, log2, num_rays, step_time))
             print(
@@ -165,8 +185,7 @@ def main():
                 f"{rays_per_sec:,.0f} rays/s ({step_time*1e3:.1f} ms/step, loss={loss:.3f})",
                 file=sys.stderr,
             )
-            if len(results) >= 2:
-                break
+            break  # headline = first (best) config that runs
         except Exception as e:  # noqa: BLE001 - OOM fallback
             print(f"# {storage} E={num_experts} log2={log2} rays={num_rays} failed: "
                   f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)

@@ -158,16 +158,19 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
     encoding split (same 40-dim encoding, half the row touches). Same
     capabilities and losses; throughput-optimized for v5e's per-row
     gather/scatter cost."""
+    # Matched parameter count: corner layout stores T*F params per level;
+    # the cell layout stores rows*8F, so rows = T*F/(8*F_new) -> log2-4 at
+    # F 4->8 (main) and log2-4 at F 1->2 (props).
     model = dataclasses.replace(
         cfg.pipeline.model,
         hash_storage="cell",
-        log2_hashmap_size=cfg.pipeline.model.log2_hashmap_size - 3,
+        log2_hashmap_size=cfg.pipeline.model.log2_hashmap_size - 4,
         num_levels=5,
         features_per_level=8,
         proposal_net_args_list=(
-            dict(features_per_level=2, log2_hashmap_size=17, num_levels=4,
+            dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
                  base_res=16, max_res=1024),
-            dict(features_per_level=2, log2_hashmap_size=17, num_levels=4,
+            dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
                  base_res=16, max_res=4096),
         ),
     )

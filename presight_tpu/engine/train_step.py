@@ -50,6 +50,7 @@ def make_train_step(
     stop_prop_grad: bool,
     donate: bool = True,
     split_update: bool = False,
+    microbatch_rays: int = 4096,
 ):
     """Build one jitted train-step variant.
 
@@ -65,7 +66,8 @@ def make_train_step(
     program does anyway at the grad/update boundary).
     """
     if split_update:
-        return _make_split_train_step(config, tx, stop_prop_grad, donate)
+        return _make_split_train_step(config, tx, stop_prop_grad, donate,
+                                      microbatch_rays)
 
     def step_fn(
         state: TrainState,
@@ -221,12 +223,14 @@ class TrainStepPair:
     """The two compiled variants (proposal grads on/off) behind one call."""
 
     def __init__(self, config: NerfactoNuscMSConfig, tx: optax.GradientTransformation,
-                 split_update: bool = False):
+                 split_update: bool = False, microbatch_rays: int = 4096):
         self._steps = {
             False: make_train_step(config, tx, stop_prop_grad=False,
-                                   split_update=split_update),
+                                   split_update=split_update,
+                                   microbatch_rays=microbatch_rays),
             True: make_train_step(config, tx, stop_prop_grad=True,
-                                  split_update=split_update),
+                                  split_update=split_update,
+                                  microbatch_rays=microbatch_rays),
         }
 
     def __call__(self, state, cameras, batch, rng, scalars, stop_prop_grad: bool):
