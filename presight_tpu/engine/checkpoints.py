@@ -65,10 +65,19 @@ def load_checkpoint(path: Path, abstract_state) -> Tuple[Dict, object, int]:
         "opt_state": abstract_state.opt_state,
         "step": np.asarray(0, np.int32),
     }
-    abstract = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype)
-        if hasattr(x, "dtype") else x,
-        template,
-    )
+    # Orbax requires a concrete sharding on every abstract leaf; restore onto
+    # the template's own sharding when it is a live jax.Array, else onto the
+    # default device (single-chip eval_setup / cross-platform restore).
+    default_sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def _abstract(x):
+        if not hasattr(x, "dtype"):
+            return x
+        sharding = getattr(x, "sharding", None)
+        if not isinstance(sharding, jax.sharding.Sharding):
+            sharding = default_sharding
+        return jax.ShapeDtypeStruct(np.shape(x), x.dtype, sharding=sharding)
+
+    abstract = jax.tree_util.tree_map(_abstract, template)
     restored = ckptr.restore(Path(path).absolute(), abstract)
     return restored["params"], restored["opt_state"], int(restored["step"])

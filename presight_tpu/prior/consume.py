@@ -148,7 +148,8 @@ class VoxelizePriorPoints:
         pr = np.asarray(self.pc_range, np.float64)
         vs = np.asarray(self.voxel_size, np.float64)
         assert np.all(np.ceil((pr[3:] - pr[:3]) / vs) == np.floor((pr[3:] - pr[:3]) / vs)), (
-            f"pc_range {self.pc_range} must be divided by voxel_size {self.voxel_size}!"
+            f"voxel_size {self.voxel_size} does not evenly tile pc_range "
+            f"{self.pc_range}; the BEV grid would have a fractional cell"
         )
 
     def __call__(self, prior_points: PriorPoints, rotate_bda: float = 0.0,
@@ -207,12 +208,17 @@ class VoxelizePriorPoints:
             max_voxels=self.max_voxels,
         )
 
-        # Hit-weighted per-voxel mean + log(hit-sum) channel (:127-138).
+        # Reduce each voxel's point stack to a single row: hit-count-weighted
+        # mean of xyz+features, with the raw hit sum appended as its own
+        # channel (log-compressed below). Matches prior_points.py:127-138.
         hits = voxels[:, :, -1:]
         weighted = (voxels[:, :, :-1] * hits).sum(axis=1)
         hit_sum = hits.sum(axis=1)
         out = np.concatenate([weighted / hit_sum, hit_sum], axis=-1)
-        assert not (np.any(np.isnan(out)) or np.any(np.isinf(out))), "nan or inf in voxels!"
+        assert np.all(np.isfinite(out)), (
+            "non-finite voxel features after hit-weighted reduction "
+            "(zero hit sum or corrupt prior input)"
+        )
 
         rng_xyz = pr[3:] - pr[:3]
         out[:, :3] = (out[:, :3] - pr[:3]) / rng_xyz

@@ -47,7 +47,14 @@ CAMERAS_PER_FRAME = 6
 
 
 def _pad_to(n: int, multiple: int) -> int:
-    return ((n + multiple - 1) // multiple) * multiple
+    """Round n up to a power-of-two multiple of `multiple`.
+
+    Bucketing pad shapes keeps the number of compiled program variants
+    logarithmic in the chunk size (~6) instead of one per distinct
+    remainder size across images.
+    """
+    units = max(1, -(-n // multiple))
+    return (1 << (units - 1).bit_length()) * multiple
 
 
 def extract_frame_points(
@@ -85,7 +92,7 @@ def extract_frame_points(
         axis=-1,
     )
 
-    depth_fn = jax.jit(partial(forward_depth, config=config))
+    depth_fn = _depth_jit(config)
 
     points_list, dens_list, feat_list = [], [], []
     for s in range(0, n, chunk):
@@ -134,13 +141,29 @@ def extract_frame_points(
     )
 
 
+# Jitted-closure cache keyed on the config's full dataclass repr (a stable
+# value key — ``id(config)`` would alias a GC'd config's address to a stale
+# closure). The config holds dicts so it is not hashable directly.
 _JIT_CACHE: Dict = {}
+
+
+def _config_key(config) -> str:
+    return repr(config)
+
+
+def _depth_jit(config):
+    import jax
+
+    key = ("depth", _config_key(config))
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(partial(forward_depth, config=config))
+    return _JIT_CACHE[key]
 
 
 def _prop_density_jit(params, config, i):
     import jax
 
-    key = ("prop", i, id(config))
+    key = ("prop", i, _config_key(config))
     if key not in _JIT_CACHE:
         from ..fields.prop_field import prop_density
 
@@ -153,7 +176,7 @@ def _prop_density_jit(params, config, i):
 def _field_density_jit(params, config):
     import jax
 
-    key = ("field_density", id(config))
+    key = ("field_density", _config_key(config))
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(lambda p, x: field_density(p, config, x))
     return lambda x: _JIT_CACHE[key](params, x)
@@ -162,7 +185,7 @@ def _field_density_jit(params, config):
 def _field_semantics_jit(params, config):
     import jax
 
-    key = ("field_semantics", id(config))
+    key = ("field_semantics", _config_key(config))
     if key not in _JIT_CACHE:
         _JIT_CACHE[key] = jax.jit(lambda p, x: field_semantics(p, config, x))
     return lambda x: _JIT_CACHE[key](params, x)
@@ -245,9 +268,12 @@ def extract_voxels(
         all_dens.append(dens)
         all_feats.append(feats)
 
-    points = np.concatenate(all_points)
-    dens = np.concatenate(all_dens)
-    feats = np.concatenate(all_feats)
+    feat_dim = config.semantic_dim
+    points = np.concatenate(all_points) if all_points else np.zeros((0, 3), np.float32)
+    dens = np.concatenate(all_dens) if all_dens else np.zeros((0,), np.float32)
+    feats = (
+        np.concatenate(all_feats) if all_feats else np.zeros((0, feat_dim), np.float16)
+    )
     print(f"num hit points before density thr: {len(points)}")
     sel = dens > density_threshold
     print(f"num hit points after density thr: {int(sel.sum())}")

@@ -42,6 +42,17 @@ def voxel_downsample(
     provided 'colors' (V,3) means and 'features' (V,D) float64-accumulated
     means cast to float16 (matching extract_priors.py:178-190 semantics).
     """
+    if len(points) == 0:
+        out = {
+            "points": np.zeros((0, 3), np.float64),
+            "hits": np.zeros((0,), np.int64),
+            "keys": np.zeros((0,), np.int64),
+        }
+        if colors is not None:
+            out["colors"] = np.zeros((0, colors.shape[-1]), np.float64)
+        if features is not None:
+            out["features"] = np.zeros((0, features.shape[-1]), np.float16)
+        return out
     if min_bound is None:
         min_bound = points.min(axis=0) - 1.0
     keys = voxel_keys(points, voxel_size, min_bound)
@@ -77,6 +88,8 @@ def hit_quantile_filter(
     """Keep voxels with hits > quantile(hits, ratio)
     (extract_priors.py:191-197)."""
     hits = voxels["hits"]
+    if len(hits) == 0:
+        return voxels
     thr = np.quantile(hits, hit_thr_ratio)
     sel = hits > thr
     return {k: v[sel] for k, v in voxels.items()}

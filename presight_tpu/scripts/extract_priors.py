@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     parser.add_argument("--max-depth", type=float, default=50.0)
     parser.add_argument("--min-depth", type=float, default=0.5)
     parser.add_argument("--hit-thr-ratio", type=float, default=0.2)
+    parser.add_argument("--density-threshold", type=float, default=1.0,
+                        help="keep hit points with mean density above this "
+                        "(reference extract_priors.py:157 fixes it at 1.0)")
     parser.add_argument("--depth-type", default="depth",
                         choices=["depth", "expected_depth"])
     parser.add_argument("--no-seg-mask", action="store_true")
@@ -55,6 +58,7 @@ def main(argv=None) -> int:
         hit_thr_ratio=args.hit_thr_ratio,
         depth_type=args.depth_type,
         use_segmentation_mask=not args.no_seg_mask,
+        density_threshold=args.density_threshold,
     )
     return 0
 
