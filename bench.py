@@ -49,7 +49,8 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         # XLA's fast (<= 8 MB output) scatter regime, experts folded into
         # the hash, cell rows, 5 levels x 8 features.
         config = NerfactoNuscMSConfig(
-            hash_storage="shared", log2_hashmap_size=15, num_levels=5,
+            hash_storage="shared", prop_shared_mlp=True,
+            log2_hashmap_size=15, num_levels=5,
             features_per_level=8,
             proposal_net_args_list=(
                 dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,

@@ -163,6 +163,7 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
     model = dataclasses.replace(
         cfg.pipeline.model,
         hash_storage="shared",
+        prop_shared_mlp=True,
         # 2^15 rows x 64 floats = 8.4 MB per level slab (main field).
         log2_hashmap_size=15,
         num_levels=5,

@@ -18,8 +18,8 @@ from jax.ad_checkpoint import checkpoint_name
 from ..ops.hash_encoding import HashEncodingConfig, hash_encode, init_hash_table
 from ..ops.math import contract_positions, trunc_exp
 from ..ops.permute import sort_rows, unsort_rows
-from ..ops.mlp import apply_mlp_grouped, init_mlp
-from .router import Routing, route_positions
+from ..ops.mlp import apply_mlp, apply_mlp_grouped, init_mlp
+from .router import Routing, assign_experts, route_positions
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +33,13 @@ class PropFieldConfig:
     hidden_dim: int = 64
     hash_init_scale: float = 1e-4
     hash_storage: str = "corner"
+    shared_mlp: bool = False
+    """One MLP shared by all experts (TPU profile): proposal capacity
+    lives in the (expert-hashed) tables, and a shared density head removes
+    the per-round routing sort and grouped-matmul permutes entirely —
+    the proposal rounds touch 2/3 of all samples, so this is the hottest
+    routing site. Reference semantics (per-expert MLPs,
+    prop_density_field_ms.py) remain the default."""
 
     @property
     def hash(self) -> HashEncodingConfig:
@@ -63,7 +70,7 @@ def init_prop_field(
             num_layers=config.num_layers,
             layer_width=config.hidden_dim,
             out_dim=1,
-            num_experts=num_experts,
+            num_experts=0 if config.shared_mlp else num_experts,
         ),
         "aabbs": aabbs,
         "centroids": centroids,
@@ -87,6 +94,17 @@ def prop_density(params: Dict, config: PropFieldConfig, positions: jnp.ndarray) 
     """Route + evaluate density for arbitrary (..., 3) world positions."""
     shape = positions.shape[:-1]
     flat = positions.reshape(-1, 3)
+    if config.shared_mlp:
+        # Sort-free path: per-expert AABB normalization is an unsorted
+        # 16-row gather, the expert id folds into the hash, and the shared
+        # MLP is one dense matmul stack.
+        eids = assign_experts(flat, params["centroids"])
+        aabb = jax.lax.stop_gradient(params["aabbs"])[eids]
+        unit, selector = contract_positions(flat, aabb)
+        feats = hash_encode(params["hash_table"], unit, config.hash, expert_ids=eids)
+        feats = checkpoint_name(feats, "hash_enc")
+        logit = apply_mlp(params["mlp"], feats)[..., 0]
+        return (trunc_exp(logit) * selector).reshape(shape)
     routing = route_positions(flat, params["centroids"])
     dens = prop_density_sorted(
         params, config, sort_rows(flat, routing.order, routing.inverse), routing

@@ -104,6 +104,10 @@ class NerfactoNuscMSConfig:
     monodepth_loss_inverse: bool = False
     monodepth_depth_upperbound: float = 40.0
     pose_scale_factor: float = 1.0  # dataparser metadata, static per run
+    prop_shared_mlp: bool = False
+    """Share one proposal-density MLP across experts (see
+    fields/prop_field.py PropFieldConfig.shared_mlp). -tpu profiles only;
+    quality-gated by the PSNR study."""
     compute_dtype: str = "float32"
     hash_storage: str = "corner"
     """'corner' = reference-exact iNGP rows; 'cell' = TPU-first one-row-per-
@@ -144,6 +148,7 @@ class NerfactoNuscMSConfig:
             log2_hashmap_size=args["log2_hashmap_size"],
             features_per_level=args["features_per_level"],
             hash_storage=self.hash_storage,
+            shared_mlp=self.prop_shared_mlp,
         )
 
     @property
