@@ -140,6 +140,10 @@ def _synthetic_demo() -> TrainerConfig:
                 num_aabbs=2,
                 depth_type="lidar",
                 centroids_dir=Path("data/synthetic/centroids"),
+                # Hold out eval images so the eval-batch / eval-image /
+                # PSNR-study paths are exercised end-to-end on the fixture
+                # (the real tile configs keep the reference's 1.0).
+                train_split_fraction=0.9,
             ),
             datamanager=DataManagerConfig(
                 train_num_rays_per_batch=2048,

@@ -71,6 +71,23 @@ class TrainerConfig:
     (reference trainer.py:475-481)."""
     camera_optimizer_mode: str = "off"
     """'off' (PreSight default, my_datamanager.py:81-84) or 'so3xr3'."""
+    num_devices: int = 1
+    """Data-parallel width: 1 = single device, 0 = every visible device,
+    N = first N devices. The TPU-native equivalent of the reference's DDP
+    launch (scripts/train.py:105-226): ray batch sharded on a ("data",)
+    mesh, parameters replicated, gradient all-reduce over ICI inserted by
+    XLA. train_num_rays_per_batch must divide evenly (the reference
+    asserts the same, my_datamanager.py:206-219)."""
+    zero1: bool = True
+    """When num_devices > 1, shard large optimizer-state tensors across
+    the mesh (ZeRO-1; parallel/mesh.py:57-89)."""
+    vis: str = "local"
+    """'+'-joined writer backends from {local, tensorboard, wandb}
+    (reference utils/writer.py:299-347; its configs default viewer+wandb).
+    Unavailable backends degrade to no-ops."""
+    eval_lpips: bool = True
+    """Compute LPIPS at image-eval cadence (nerfacto_nusc_ms.py:668-674).
+    Degrades silently when no pretrained perceptual weights are present."""
     load_dir: Optional[Path] = None
 
     def run_dir(self) -> Path:
@@ -134,6 +151,34 @@ class Trainer:
             make_camera_params(self.eval_items) if self.eval_items else None
         )
         self._image_renderer = None
+        # Eval-batch cadence source (reference trainer.py:522-523 /
+        # my_pipeline.py:172-186): pixel batches from the val split.
+        self._eval_dm = None
+        self._eval_loss_fn = None
+        if self.eval_items and cfg.steps_per_eval_batch > 0:
+            eval_labels = None
+            if self.train_outputs.predicted_labels is not None:
+                val_mask = [it.is_val for it in self.train_outputs.all_items]
+                eval_labels = self.train_outputs.predicted_labels[
+                    np.nonzero(val_mask)[0]
+                ]
+            eval_ds = PixelChunkDataset(
+                self.train_outputs.all_items,
+                eval_labels,
+                split="val",
+                images_per_chunk=min(
+                    pcfg.datamanager.images_per_chunk, len(self.eval_items)
+                ),
+                chunk_ratio=pcfg.datamanager.chunk_ratio,
+                group_balanced=False,
+                load_features=pcfg.datamanager.load_features,
+                mask_seg_classes=pcfg.datamanager.mask_seg_classes,
+                num_threads=pcfg.datamanager.num_threads,
+            )
+            self._eval_dm = DataManager(
+                eval_ds, batch_size=pcfg.datamanager.eval_num_rays_per_batch,
+                seed=cfg.seed + 7,
+            )
 
         params = init_model(
             jax.random.PRNGKey(cfg.seed),
@@ -161,7 +206,7 @@ class Trainer:
         # (compile-pipeline capacity; PERFORMANCE.md), harmless elsewhere.
         self.steps = TrainStepPair(model_cfg, self.tx, split_update=True)
         self.update_sched = ProposalUpdateSchedule(model_cfg)
-        self.writer = Writer(self.run_dir)
+        self.writer = Writer(self.run_dir, vis=cfg.vis)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
         self.start_step = 0
 
@@ -178,6 +223,37 @@ class Trainer:
             )
             self.start_step = step
             print(f"resumed from {ckpt} at step {step}", flush=True)
+
+        # Data-parallel mesh placement (after checkpoint restore so the
+        # restored leaves are re-placed too).
+        self.mesh = None
+        self.num_devices = 1
+        ndev = cfg.num_devices if cfg.num_devices > 0 else jax.device_count()
+        if ndev > 1:
+            from ..parallel import (
+                make_mesh, replicate, shard_opt_state, shard_train_state,
+            )
+
+            batch_size = cfg.pipeline.datamanager.train_num_rays_per_batch
+            if batch_size % ndev != 0:
+                raise ValueError(
+                    f"train_num_rays_per_batch={batch_size} not divisible by "
+                    f"num_devices={ndev} (reference asserts the same, "
+                    "my_datamanager.py:206-219)"
+                )
+            self.mesh = make_mesh(ndev)
+            self.num_devices = ndev
+            if cfg.zero1:
+                self.state = shard_train_state(self.mesh, self.state)
+            else:
+                self.state = self.state._replace(
+                    params=replicate(self.mesh, self.state.params),
+                    opt_state=replicate(self.mesh, self.state.opt_state),
+                    step=replicate(self.mesh, self.state.step),
+                )
+            self.cameras = replicate(self.mesh, self.cameras)
+            print(f"data-parallel over {ndev} {self.mesh.devices.flat[0].platform} "
+                  f"devices (zero1={cfg.zero1})", flush=True)
 
     def train(self) -> None:
         import jax
@@ -204,6 +280,10 @@ class Trainer:
                 sigma=jnp.asarray(line_of_sight_sigma_at(mcfg, step), jnp.float32),
                 los_mult=jnp.asarray(line_of_sight_mult_at(mcfg, step), jnp.float32),
             )
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+
+                batch = shard_batch(self.mesh, batch)
             updated = self.update_sched.updated(step)
             self._rng, sub = jax.random.split(self._rng)
             self.state, metrics = self.steps(
@@ -217,8 +297,15 @@ class Trainer:
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 self.writer.log_step(
                     step, host_metrics, batch_size, time.perf_counter() - t0,
-                    cfg.max_num_iterations,
+                    cfg.max_num_iterations, num_devices=self.num_devices,
                 )
+
+            if (
+                self._eval_dm is not None
+                and step > 0
+                and step % cfg.steps_per_eval_batch == 0
+            ):
+                self._eval_batch(step)
 
             if (
                 self.eval_cameras is not None
@@ -232,7 +319,63 @@ class Trainer:
 
         save_checkpoint(self.run_dir, cfg.max_num_iterations, self.state)
         self.datamanager.close()
+        if self._eval_dm is not None:
+            self._eval_dm.close()
         self.writer.close()
+
+    def _eval_batch(self, step: int) -> None:
+        """Loss metrics on an eval-split pixel batch
+        (reference trainer.py:522-523 eval_iteration -> get_eval_loss_dict,
+        my_pipeline.py:172-186: eval mode = mean appearance embedding)."""
+        import jax
+        import jax.numpy as jnp
+
+        mcfg = self.model_config
+        if self._eval_loss_fn is None:
+            from ..data.cameras import generate_rays
+            from ..models.nerfacto_ms import compute_losses, forward
+
+            def eval_loss(params, cameras, batch, rng, scalars):
+                bundle = generate_rays(cameras, batch["ray_index"])
+                outputs = forward(
+                    params, mcfg, bundle, rng, scalars.anneal,
+                    train=False, stop_prop_grad=True,
+                )
+                losses = compute_losses(outputs, batch, mcfg, scalars.sigma,
+                                        scalars.los_mult)
+                total = sum(losses.values())
+                losses["total_loss"] = total
+                if "rgb" in batch:
+                    mse = jnp.mean((outputs["rgb"] - batch["rgb"]) ** 2)
+                    losses["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+                return losses
+
+            self._eval_loss_fn = jax.jit(eval_loss)
+
+        np_batch = self._eval_dm.next_batch()
+        batch = {
+            "ray_index": jnp.asarray(np_batch[K.RAY_INDEX]),
+            "rgb": jnp.asarray(np_batch[K.RGB]),
+            "sky": jnp.asarray(np_batch[K.SKY]),
+            "depth": jnp.asarray(np_batch[K.DEPTH]),
+        }
+        if K.FEATURES in np_batch and mcfg.use_semantics:
+            batch["features"] = jnp.asarray(np_batch[K.FEATURES])
+        scalars = StepScalars(
+            anneal=jnp.asarray(anneal_at(mcfg, step), jnp.float32),
+            sigma=jnp.asarray(line_of_sight_sigma_at(mcfg, step), jnp.float32),
+            los_mult=jnp.asarray(line_of_sight_mult_at(mcfg, step), jnp.float32),
+        )
+        # Eval cameras are indexed within the eval split: rebuild ray_index
+        # against the eval camera table.
+        self._rng, sub = jax.random.split(self._rng)
+        losses = self._eval_loss_fn(self.state.params, self.eval_cameras,
+                                    batch, sub, scalars)
+        host = {f"eval_{k}": float(v) for k, v in losses.items()}
+        self.writer.put_dict(host, step)
+        print(f"eval batch @ step {step}: "
+              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items())),
+              flush=True)
 
     def _eval_image(self, step: int) -> None:
         """Render one eval image and log PSNR/SSIM (trainer.py:513-547 /
@@ -247,7 +390,8 @@ class Trainer:
             self.state.params, self.eval_cameras, idx, item.H, item.W
         )
         gt = item.load_image()
-        metrics = image_metrics(outputs["rgb"], gt, with_lpips=False)
+        metrics = image_metrics(outputs["rgb"], gt,
+                                with_lpips=self.config.eval_lpips)
         self.writer.put_dict({f"eval_{k}": v for k, v in metrics.items()}, step)
         print(f"eval image {idx} @ step {step}: psnr={metrics['psnr']:.2f} "
               f"ssim={metrics['ssim']:.3f}", flush=True)
