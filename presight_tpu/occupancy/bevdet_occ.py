@@ -1,0 +1,180 @@
+"""BEVDet-Occ detector chain, TPU-native flax modules.
+
+Reference spec: occupancy/mmdet3d/models/detectors/bevdet.py (BEVDet:
+image_encoder :43-61, bev_encoder with the prior-fusion hook :62-78) and
+bevdet_occ.py (BEVStereo4DOCC :13-142: final 3D conv + softplus predicter
+head :27-42, masked CE loss :55-72). The image backbone/neck stand in for
+the reference's ResNet50+CustomFPN at configurable width (the prior
+contract and the occupancy head — what PreSight adds — are
+semantics-complete; the backbone is a capacity knob).
+
+Scope note vs BEVStereo4D: the temporal 4D stacking (previous-frame BEV
+alignment, bevdet.py BEVDet4D) refines features over time; this module is
+the single-frame chain with the same prior-fusion injection point.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.prior_fusion import PriorFusion3DVoxel
+from .view_transformer import LSSViewTransformer
+
+
+class ConvStage(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME")(x)
+        x = nn.BatchNorm(use_running_average=not train)(x)
+        return nn.relu(x)
+
+
+class ImageEncoder(nn.Module):
+    """Strided conv backbone + top-level 1x1 neck (stand-in for the
+    reference's ResNet50 + CustomFPN, bevdet.py:43-61). Downsamples by
+    2^len(widths); emits NHWC features."""
+
+    widths: Sequence[int] = (32, 64, 128, 256)
+    neck_channels: int = 256
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False):
+        # imgs: (B*N, H, W, 3) NHWC in [0, 1].
+        x = imgs
+        for w in self.widths:
+            x = ConvStage(w, stride=2)(x, train)
+            x = ConvStage(w, stride=1)(x, train)
+        return nn.Conv(self.neck_channels, (1, 1))(x)
+
+
+class BEVEncoder3D(nn.Module):
+    """3D conv stack on the (B, C, Z, Y, X) BEV volume (stand-in for
+    CustomResNet3D + LSSFPN3D, bevdet.py:74-78 consumers)."""
+
+    widths: Sequence[int] = (64, 128)
+    out_channels: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, C, Z, Y, X) -> NDHWC
+        h = jnp.transpose(x, (0, 2, 3, 4, 1))
+        for w in self.widths:
+            h = nn.Conv(w, (3, 3, 3), padding="SAME")(h)
+            h = nn.BatchNorm(use_running_average=not train)(h)
+            h = nn.relu(h)
+        h = nn.Conv(self.out_channels, (3, 3, 3), padding="SAME")(h)
+        return jnp.transpose(h, (0, 4, 1, 2, 3))  # back to (B, C, Z, Y, X)
+
+
+class OccHead(nn.Module):
+    """Final 3D conv + softplus predicter (bevdet_occ.py:27-42)."""
+
+    out_dim: int = 32
+    num_classes: int = 18
+    use_predicter: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, C, Z, Y, X); final_conv is Conv3d k=3.
+        h = jnp.transpose(x, (0, 2, 3, 4, 1))  # NDHWC
+        out_ch = self.out_dim if self.use_predicter else self.num_classes
+        h = nn.Conv(out_ch, (3, 3, 3), padding="SAME")(h)
+        # Reference: permute(0,4,3,2,1) on (B, C', Z, Y, X) -> (B, X, Y, Z, C').
+        h = jnp.transpose(h, (0, 3, 2, 1, 4))
+        if self.use_predicter:
+            h = nn.Dense(self.out_dim * 2)(h)
+            h = jax.nn.softplus(h)
+            h = nn.Dense(self.num_classes)(h)
+        return h  # (B, X, Y, Z, num_classes) logits
+
+
+class BEVDetOcc(nn.Module):
+    """Single-frame BEVDet-Occ with the PreSight prior-fusion hook.
+
+    __call__ inputs mirror the reference's prepared img_inputs
+    (bevdet.py:81-100): imgs (B, N, 3, H, W) + per-camera geometry, plus the
+    voxelized prior tensors from prior/consume.py. Returns (occ_logits
+    (B, X, Y, Z, classes), depth (B*N, D, Hf, Wf)).
+    """
+
+    grid_config: Dict[str, Tuple[float, float, float]]
+    input_size: Tuple[int, int]
+    downsample: int = 16
+    view_out_channels: int = 64
+    img_widths: Sequence[int] = (32, 64, 128, 256)
+    neck_channels: int = 256
+    bev_widths: Sequence[int] = (64, 128)
+    bev_out_channels: int = 32
+    occ_out_dim: int = 32
+    num_classes: int = 18
+    prior_pc_range: Optional[Sequence[float]] = None
+    prior_voxel_size: Optional[Sequence[float]] = None
+    prior_in_channels: int = 68
+    use_prior_only: bool = False
+
+    @nn.compact
+    def __call__(self, imgs, sensor2ego, cam2imgs, post_rots, post_trans, bda,
+                 prior_feats=None, prior_coords=None, prior_valid=None,
+                 train: bool = False):
+        B, N, _, H, W = imgs.shape
+        x = ImageEncoder(self.img_widths, self.neck_channels)(
+            jnp.transpose(imgs.reshape(B * N, 3, H, W), (0, 2, 3, 1)), train
+        )
+        hf, wf = x.shape[1], x.shape[2]
+        x = x.reshape(B, N, hf, wf, -1)
+
+        vt = LSSViewTransformer(
+            grid_config=self.grid_config, input_size=self.input_size,
+            downsample=self.downsample, in_channels=self.neck_channels,
+            out_channels=self.view_out_channels, collapse_z=False,
+        )
+        bev, depth = vt(x, sensor2ego, cam2imgs, post_rots, post_trans, bda,
+                        train)  # (B, C, Z, Y, X)
+
+        if prior_feats is not None:
+            # Prior injection point (bevdet.py:62-78): permute the volume to
+            # (bs, c, h, w, z), optionally blank it (prior-only ablation),
+            # fuse, permute back.
+            v = jnp.transpose(bev, (0, 1, 3, 4, 2))  # (B, C, Y=h, X=w, Z)
+            if self.use_prior_only:
+                v = jnp.zeros_like(v)
+            fusion = PriorFusion3DVoxel(
+                prior_pc_range=self.prior_pc_range,
+                prior_voxel_size=self.prior_voxel_size,
+                bev_hidden_channels=self.neck_channels,
+                prior_in_channels=self.prior_in_channels,
+                out_num_z=v.shape[-1],
+                out_channels=v.shape[1],
+            )
+            v = fusion(v, prior_feats, prior_coords, prior_valid, train)
+            bev = jnp.transpose(v, (0, 1, 4, 2, 3))
+
+        bev = BEVEncoder3D(self.bev_widths, self.bev_out_channels)(bev, train)
+        occ = OccHead(self.occ_out_dim, self.num_classes)(bev, train)
+        return occ, depth
+
+
+def occ_loss(
+    logits: jnp.ndarray,  # (B, X, Y, Z, num_classes)
+    voxel_semantics: jnp.ndarray,  # (B, X, Y, Z) int labels
+    mask_camera: Optional[jnp.ndarray] = None,  # (B, X, Y, Z) 0/1
+) -> jnp.ndarray:
+    """Occupancy cross-entropy (bevdet_occ.py:55-72): flat CE, optionally
+    weighted by the camera-visibility mask and averaged by its sum."""
+    num_classes = logits.shape[-1]
+    flat_logits = logits.reshape(-1, num_classes)
+    flat_labels = voxel_semantics.reshape(-1).astype(jnp.int32)
+    logp = jax.nn.log_softmax(flat_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, flat_labels[:, None], axis=-1)[:, 0]
+    if mask_camera is not None:
+        m = mask_camera.reshape(-1).astype(ce.dtype)
+        return jnp.sum(ce * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(ce)

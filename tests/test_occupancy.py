@@ -1,0 +1,212 @@
+"""Stage-3 occupancy chain tests.
+
+Mirrors the reference's random-tensor forward tests
+(occupancy/tests/test_models/test_forward.py pattern) plus a bev_pool_v2
+parity oracle and the end-to-end prior contract: extracted prior pickle ->
+CityPriors crop -> VoxelizePriorPoints -> PriorFusion3D inside BEVDetOcc ->
+occ head -> CE loss -> Occ3D mIoU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from presight_tpu.occupancy import BEVDetOcc, LSSViewTransformer, bev_pool_v2, occ_loss
+from presight_tpu.occupancy.bev_pool import bev_pool_v2_reference
+from presight_tpu.occupancy.view_transformer import create_frustum, get_lidar_coor
+
+GRID = {
+    "x": (-8.0, 8.0, 0.8),
+    "y": (-8.0, 8.0, 0.8),
+    "z": (-1.0, 3.0, 0.5),
+    "depth": (1.0, 9.0, 0.5),
+}
+INPUT_SIZE = (32, 64)
+
+
+def _geometry(B=1, N=2, seed=0):
+    rng = np.random.RandomState(seed)
+    s2e = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    s2e[..., :3, 3] = rng.randn(B, N, 3) * 0.5
+    intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    intrins[..., 0, 0] = 40.0
+    intrins[..., 1, 1] = 40.0
+    intrins[..., 0, 2] = 32.0
+    intrins[..., 1, 2] = 16.0
+    post_rots = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    post_trans = np.zeros((B, N, 3), np.float32)
+    bda = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    return (jnp.asarray(s2e), jnp.asarray(intrins), jnp.asarray(post_rots),
+            jnp.asarray(post_trans), jnp.asarray(bda))
+
+
+def test_bev_pool_v2_matches_loop_oracle():
+    rng = np.random.RandomState(0)
+    B, N, D, H, W, C = 2, 2, 5, 3, 4, 6
+    depth = rng.rand(B, N, D, H, W).astype(np.float32)
+    feat = rng.randn(B, N, H, W, C).astype(np.float32)
+    coor = (rng.rand(B, N, D, H, W, 3) * 20 - 10).astype(np.float32)
+    lb, iv, gs = [-8.0, -8.0, -1.0], [0.8, 0.8, 0.5], (20, 20, 8)
+    got = np.asarray(bev_pool_v2(jnp.asarray(depth), jnp.asarray(feat),
+                                 jnp.asarray(coor), lb, iv, gs))
+    want = bev_pool_v2_reference(depth, feat, coor, lb, iv, gs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bev_pool_v2_gradients_flow():
+    rng = np.random.RandomState(1)
+    depth = jnp.asarray(rng.rand(1, 1, 4, 3, 3).astype(np.float32))
+    feat = jnp.asarray(rng.randn(1, 1, 3, 3, 4).astype(np.float32))
+    coor = jnp.asarray((rng.rand(1, 1, 4, 3, 3, 3) * 10 - 5).astype(np.float32))
+    lb, iv, gs = [-8.0, -8.0, -1.0], [0.8, 0.8, 0.5], (20, 20, 8)
+
+    def f(depth, feat):
+        return jnp.sum(bev_pool_v2(depth, feat, coor, lb, iv, gs) ** 2)
+
+    gd, gf = jax.grad(f, argnums=(0, 1))(depth, feat)
+    assert float(jnp.abs(gd).sum()) > 0 and float(jnp.abs(gf).sum()) > 0
+
+
+def test_lidar_coor_center_pixel_unprojects_to_depth():
+    frustum = jnp.asarray(create_frustum(GRID["depth"], INPUT_SIZE, 16))
+    s2e, intrins, post_rots, post_trans, bda = _geometry()
+    pts = get_lidar_coor(frustum, s2e, intrins, post_rots, post_trans, bda)
+    # identity extrinsics modulo translation: z-coordinate of every frustum
+    # point equals its depth bin (camera +z), offset by the sensor origin.
+    D = frustum.shape[0]
+    depths = np.asarray(frustum[:, 0, 0, 2])
+    got = np.asarray(pts)[0, 0, :, 0, 0, 2] - float(s2e[0, 0, 2, 3])
+    np.testing.assert_allclose(got, depths, rtol=1e-4)
+
+
+def test_view_transformer_forward_shapes():
+    B, N = 1, 2
+    hf, wf = INPUT_SIZE[0] // 16, INPUT_SIZE[1] // 16
+    x = jnp.asarray(np.random.RandomState(0).randn(B, N, hf, wf, 32).astype(np.float32))
+    vt = LSSViewTransformer(grid_config=GRID, input_size=INPUT_SIZE,
+                            downsample=16, in_channels=32, out_channels=16,
+                            collapse_z=False)
+    geo = _geometry(B, N)
+    params = vt.init(jax.random.PRNGKey(0), x, *geo)
+    (bev, depth), _ = vt.apply(params, x, *geo, mutable=["batch_stats"])
+    assert bev.shape == (B, 16, 8, 20, 20)  # (B, C, Z, Y, X)
+    assert depth.shape == (B * N, 16, hf, wf)
+    np.testing.assert_allclose(np.asarray(depth).sum(1), 1.0, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def occ_model():
+    model = BEVDetOcc(
+        grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
+        view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
+        bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
+        num_classes=18,
+        prior_pc_range=[-8.0, -8.0, -1.0, 8.0, 8.0, 3.0],
+        prior_voxel_size=[0.8, 0.8, 0.5],
+    )
+    B, N = 1, 2
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(B, N, 3, *INPUT_SIZE).astype(np.float32))
+    geo = _geometry(B, N)
+    V = 64
+    prior_feats = jnp.asarray(rng.randn(B, V, 68).astype(np.float32))
+    prior_coords = jnp.asarray(
+        np.stack([rng.randint(0, 8, (B, V)), rng.randint(0, 20, (B, V)),
+                  rng.randint(0, 20, (B, V))], -1).astype(np.int32))
+    prior_valid = jnp.asarray(rng.rand(B, V) > 0.2)
+    args = (imgs, *geo, prior_feats, prior_coords, prior_valid)
+    params = model.init(jax.random.PRNGKey(0), *args)
+    return model, params, args
+
+
+def test_bevdet_occ_forward_and_loss(occ_model):
+    model, params, args = occ_model
+    (occ, depth), _ = model.apply(params, *args, mutable=["batch_stats"])
+    assert occ.shape == (1, 20, 20, 8, 18)
+    rng = np.random.RandomState(1)
+    voxel_semantics = jnp.asarray(rng.randint(0, 18, (1, 20, 20, 8)))
+    mask_camera = jnp.asarray((rng.rand(1, 20, 20, 8) > 0.3).astype(np.float32))
+    loss = occ_loss(occ, voxel_semantics, mask_camera)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    loss_nomask = occ_loss(occ, voxel_semantics)
+    assert np.isfinite(float(loss_nomask))
+
+
+def test_bevdet_occ_trains_on_toy_scene(occ_model):
+    """One overfit step chain: loss decreases on a fixed toy target."""
+    import optax
+
+    model, params, args = occ_model
+    rng = np.random.RandomState(2)
+    voxel_semantics = jnp.asarray(rng.randint(0, 18, (1, 20, 20, 8)))
+
+    tx = optax.adam(1e-3)
+    state = params
+    opt_state = tx.init(state)
+
+    def loss_fn(p):
+        (occ, _depth), _ = model.apply(p, *args, mutable=["batch_stats"])
+        return occ_loss(occ, voxel_semantics)
+
+    losses = []
+    for _ in range(5):
+        loss, grads = jax.value_and_grad(loss_fn)(state)
+        updates, opt_state = tx.update(grads, opt_state, state)
+        state = optax.apply_updates(state, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_prior_chain_end_to_end_into_occ_miou(tmp_path, occ_model):
+    """Extracted-prior schema -> CityPriors -> VoxelizePriorPoints ->
+    BEVDetOcc(use_prior_only-style fusion inputs) -> mIoU metric."""
+    import pickle
+
+    from presight_tpu.prior.consume import CityPriors, VoxelizePriorPoints
+    from presight_tpu.utils.occ_metrics import MetricMIoU
+
+    rng = np.random.RandomState(3)
+    n = 4096
+    prior = {
+        "points": (rng.rand(n, 3).astype(np.float32) * 16 - 8),
+        "features": rng.rand(n, 64).astype(np.float16),
+        "colors": rng.rand(n, 3).astype(np.float32),
+        "hits": rng.randint(1, 10, n).astype(np.int64),
+        "origin": np.zeros(3, np.float32),
+    }
+    d = tmp_path / "camera_priors" / "toy"
+    d.mkdir(parents=True)
+    with open(d / "toy-c0.pkl", "wb") as f:
+        pickle.dump(prior, f)
+
+    pc_range = [-8.0, -8.0, -1.0, 8.0, 8.0, 3.0]
+    cp = CityPriors(str(tmp_path), {"toy": 1}, pc_range)
+    pts = cp.get_prior_points("toy", np.zeros(3), (1.0, 0.0, 0.0, 0.0))
+    assert len(pts) > 0
+    vox = VoxelizePriorPoints(pc_range, [0.8, 0.8, 0.5], max_voxels=64,
+                              max_points_per_voxel=8)
+    out = vox(pts, rng=np.random.RandomState(0))
+    V = 64
+    nv = len(out["prior_voxels"])
+    assert nv > 0
+    feats = np.zeros((1, V, 68), np.float32)
+    coords = np.zeros((1, V, 3), np.int32)
+    valid = np.zeros((1, V), bool)
+    feats[0, :nv] = out["prior_voxels"][:V]
+    coords[0, :nv] = out["prior_voxels_coords"][:V]
+    valid[0, :nv] = True
+
+    model, params, args = occ_model
+    imgs, s2e, intr, pr, pt, bda = args[:6]
+    (occ, _), _ = model.apply(
+        params, imgs, s2e, intr, pr, pt, bda,
+        jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid),
+        mutable=["batch_stats"],
+    )
+    pred = np.asarray(jnp.argmax(occ, -1))[0]
+    gt = np.random.RandomState(4).randint(0, 18, pred.shape)
+    metric = MetricMIoU(num_classes=18)
+    metric.add_batch(pred, gt)
+    miou = metric.miou()
+    assert np.isfinite(miou) and 0.0 <= miou <= 100.0
