@@ -107,15 +107,24 @@ class HashEncodingConfig:
         )
 
     def scalings(self) -> np.ndarray:
-        """Per-level grid resolutions (float), matching encodings.py:281-284."""
-        levels = np.arange(self.num_levels)
+        """Per-level grid resolutions (float), matching encodings.py:281-284.
+
+        The power/multiply runs in float32, reproducing the executed
+        reference exactly: torch promotes the float growth factor against
+        the int64 level tensor to the default float32 dtype, which changes
+        boundary levels (e.g. 10 levels 16->16384 ends at 16384 in f32 but
+        16383 in f64; caught by tests/goldens/hash_encoding.npz).
+        """
+        levels = np.arange(self.num_levels).astype(np.float32)
         if self.num_levels > 1:
             growth = np.exp(
                 (np.log(self.max_res) - np.log(self.min_res)) / (self.num_levels - 1)
             )
         else:
             growth = 1.0
-        return np.floor(self.min_res * growth ** levels).astype(np.float32)
+        return np.floor(
+            (np.float32(self.min_res) * np.float32(growth) ** levels).astype(np.float32)
+        ).astype(np.float32)
 
 
 def init_hash_table(

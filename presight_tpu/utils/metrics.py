@@ -44,8 +44,13 @@ def ssim(pred: jnp.ndarray, gt: jnp.ndarray, data_range: float = 1.0,
     y = jnp.moveaxis(gt, -1, 0)[:, None]
 
     def filt(img):
+        # HIGHEST precision is load-bearing on TPU: the default conv
+        # precision (bf16 passes) loses ~7e-4 on E[x^2], which is the same
+        # magnitude as c2 — the variance term E[x^2] - E[x]^2 then goes
+        # negative enough to push SSIM far outside [-1, 1].
         return jax.lax.conv_general_dilated(
-            img, kern, window_strides=(1, 1), padding="VALID"
+            img, kern, window_strides=(1, 1), padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     mu_x = filt(x)

@@ -1,0 +1,172 @@
+"""Generate executed-reference golden files.
+
+Runs the reference implementation's pure-torch code paths (CPU torch, no
+CUDA/tcnn needed) once and checks the outputs into tests/goldens/*.npz so
+the parity tests compare against EXECUTED reference behavior rather than
+hand-transcribed formulas.
+
+Covered (VERDICT round-1 item 7):
+  * HashEncoding torch fallback (encodings.py:324-384)
+  * PDFSampler + UniformLinDispPiecewiseSampler (ray_samplers.py:53-372)
+  * PreSight losses (model_components/PreSight/losses.py:28-205)
+  * WarmupMultiStepScheduler LR sequence (engine/my_schedulers.py:34-71)
+
+Usage: python tests/make_goldens.py  (requires /root/reference; run once,
+commit the npz files).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REF = "/root/reference/nerfstudio-0.3.3"
+OUT = Path(__file__).parent / "goldens"
+
+
+def _stub(name: str, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+
+
+def main() -> None:
+    sys.path.insert(0, REF)
+    # The reference imports these at module scope; the golden paths never
+    # call them (pure-torch fallbacks only).
+    _stub("nerfacc", OccGridEstimator=object)
+    _stub("wandb", Image=object, init=lambda *a, **k: None, log=lambda *a, **k: None)
+
+    import torch
+
+    torch.manual_seed(0)
+    OUT.mkdir(exist_ok=True)
+
+    # ------------------------------------------------ 1. hash encoding
+    from nerfstudio.field_components.encodings import HashEncoding
+
+    enc = HashEncoding(
+        num_levels=4, min_res=4, max_res=64, log2_hashmap_size=10,
+        features_per_level=2, implementation="torch",
+    )
+    pos = torch.rand(64, 3, generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        out = enc(pos)
+    np.savez(
+        OUT / "hash_encoding.npz",
+        positions=pos.numpy(),
+        table=enc.hash_table.detach().numpy(),
+        output=out.numpy(),
+        config=np.asarray([4, 4, 64, 10, 2]),
+    )
+    print("hash_encoding.npz", out.shape)
+
+    # ------------------------------------------------ 2. samplers
+    from nerfstudio.cameras.rays import RayBundle
+    from nerfstudio.model_components.ray_samplers import (
+        PDFSampler, UniformLinDispPiecewiseSampler,
+    )
+
+    g = torch.Generator().manual_seed(2)
+    R = 16
+    origins = torch.randn(R, 3, generator=g)
+    directions = torch.nn.functional.normalize(torch.randn(R, 3, generator=g), dim=-1)
+    bundle = RayBundle(
+        origins=origins, directions=directions,
+        pixel_area=torch.ones(R, 1) * 1e-4,
+        nears=torch.full((R, 1), 0.05), fars=torch.full((R, 1), 50.0),
+    )
+    init_sampler = UniformLinDispPiecewiseSampler(num_samples=24)
+    samples = init_sampler(bundle, num_samples=24)  # stratified torch RNG
+    # Deterministic path for goldens: re-run without training randomness.
+    init_sampler.train(False)
+    samples = init_sampler(bundle, num_samples=24)
+    weights = torch.rand(R, 24, 1, generator=g)
+    pdf = PDFSampler(num_samples=12, include_original=False)
+    pdf.train(False)
+    resampled = pdf(bundle, samples, weights, num_samples=12)
+    np.savez(
+        OUT / "samplers.npz",
+        origins=origins.numpy(), directions=directions.numpy(),
+        nears=np.full((R,), 0.05, np.float32), fars=np.full((R,), 50.0, np.float32),
+        init_starts=samples.frustums.starts.squeeze(-1).detach().numpy(),
+        init_ends=samples.frustums.ends.squeeze(-1).detach().numpy(),
+        init_spacing_starts=samples.spacing_starts.squeeze(-1).detach().numpy(),
+        weights=weights.squeeze(-1).numpy(),
+        pdf_starts=resampled.frustums.starts.squeeze(-1).detach().numpy(),
+        pdf_ends=resampled.frustums.ends.squeeze(-1).detach().numpy(),
+    )
+    print("samplers.npz", resampled.frustums.starts.shape)
+
+    # ------------------------------------------------ 3. PreSight losses
+    from nerfstudio.model_components.PreSight import losses as L
+
+    g = torch.Generator().manual_seed(3)
+    R, S = 8, 16
+    w = torch.rand(R, S, 1, generator=g)
+    termination_depth = (torch.rand(R, 1, generator=g) * 40 + 1)
+    steps = torch.sort(torch.rand(R, S, 1, generator=g) * 50, dim=1).values
+    sigma = torch.tensor(5.0)
+    los = L.line_of_sight_loss(
+        w, termination_depth, steps, sigma, None, 75.0
+    )
+    pred_depth = torch.rand(R, 1, generator=g) * 60
+    exp_loss = L.expected_depth_loss(termination_depth, pred_depth, 75.0)
+    acc = torch.rand(R, 1, generator=g)
+    skym = (torch.rand(R, 1, generator=g) > 0.7).float()
+    sky = L.sky_loss(acc, skym)
+    sem_pred = torch.rand(R, 8, generator=g)
+    sem_gt = torch.rand(R, 8, generator=g) * 1.4 - 0.2
+    sem = L.semantic_loss(sem_pred, sem_gt, clip=True)
+    x = torch.sort(torch.rand(R, S + 1, generator=g), dim=-1).values
+    y = torch.rand(R, S, generator=g)
+    bx, by = L.blur_stepfun(x, y, 0.03)
+    np.savez(
+        OUT / "losses.npz",
+        weights=w.squeeze(-1).numpy(),
+        termination_depth=termination_depth.squeeze(-1).numpy(),
+        steps=steps.squeeze(-1).numpy(),
+        sigma=np.float32(5.0), upper=np.float32(75.0),
+        line_of_sight=los.item(),
+        pred_depth=pred_depth.squeeze(-1).numpy(),
+        expected_depth_loss=exp_loss.item(),
+        accumulation=acc.squeeze(-1).numpy(),
+        sky_mask=skym.squeeze(-1).numpy(), sky_loss=sky.item(),
+        sem_pred=sem_pred.numpy(), sem_gt=sem_gt.numpy(),
+        semantic_loss=sem.item(),
+        blur_x=x.numpy(), blur_y=y.numpy(), blur_r=np.float32(0.03),
+        blur_out_x=bx.numpy(), blur_out_y=by.numpy(),
+    )
+    print("losses.npz los =", los.item())
+
+    # ------------------------------------------------ 4. LR schedule
+    # nerfstudio.engine.my_schedulers cannot import under python 3.12 (its
+    # base_config dataclass uses a mutable default); its get_scheduler
+    # (my_schedulers.py:55-70) is exactly this torch composition, which we
+    # EXECUTE with real torch here:
+    from torch.optim import lr_scheduler
+
+    params = [torch.nn.Parameter(torch.zeros(1))]
+    opt = torch.optim.Adam(params, lr=1e-2)
+    sched = lr_scheduler.ChainedScheduler([
+        lr_scheduler.LinearLR(opt, start_factor=0.01, total_iters=100),
+        lr_scheduler.MultiStepLR(opt, milestones=(250, 500, 750), gamma=0.33),
+    ])
+    lrs = []
+    for _ in range(1000):
+        lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+    np.savez(OUT / "lr_schedule.npz", lrs=np.asarray(lrs, np.float64),
+             max_steps=1000, warmup_steps=100,
+             milestones=np.asarray([250, 500, 750]), gamma=np.float64(0.33),
+             lr=np.float64(1e-2))
+    print("lr_schedule.npz", lrs[0], lrs[99], lrs[251], lrs[999])
+
+
+if __name__ == "__main__":
+    main()
