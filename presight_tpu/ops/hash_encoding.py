@@ -23,8 +23,11 @@ Design notes (TPU):
     bits, uint32 wraparound gives results identical to the reference's int64
     math modulo the table size.
   * Gradients (scatter-add into the table) are handled by XLA's gather
-    transpose; a Pallas kernel backs the hot path when profitable (see
-    presight_tpu/ops/pallas/hash_kernel.py).
+    transpose. A Pallas gather/scatter kernel was prototyped and MEASURED
+    SLOWER than XLA on v5e (scalar-loop VMEM gather ~10.4 ns/row vs XLA's
+    ~5.2; see PERFORMANCE.md round 2) — the winning design instead keeps
+    every scatter output inside XLA's fast (<= ~8 MB) regime via the
+    'shared' per-level table layout below.
 """
 
 from __future__ import annotations

@@ -74,17 +74,21 @@ def create_nuscenes_infos(
     scenes: Optional[List[str]] = None,
     process_lidar: bool = False,
     sweep_window_s: float = 0.1,
+    nusc=None,
 ) -> None:
-    try:
-        from nuscenes.nuscenes import NuScenes
-    except ImportError as e:  # pragma: no cover - devkit not bundled
-        raise SystemExit(
-            "nuscenes-devkit is required for create_nuscenes_infos; install it "
-            "or prepare the per-scene pickles elsewhere (schema documented in "
-            "presight_tpu/data/synthetic.py)."
-        ) from e
+    """``nusc`` accepts any object with the devkit's table interface
+    (.scene list + .get(table, token)); tests inject a synthetic one."""
+    if nusc is None:
+        try:
+            from nuscenes.nuscenes import NuScenes
+        except ImportError as e:  # pragma: no cover - devkit not bundled
+            raise SystemExit(
+                "nuscenes-devkit is required for create_nuscenes_infos; install it "
+                "or prepare the per-scene pickles elsewhere (schema documented in "
+                "presight_tpu/data/synthetic.py)."
+            ) from e
 
-    nusc = NuScenes(version=version, dataroot=str(data_dir), verbose=True)
+        nusc = NuScenes(version=version, dataroot=str(data_dir), verbose=True)
     out_dir = Path(data_dir) / "PreSight"
     out_dir.mkdir(parents=True, exist_ok=True)
     cam_channels = ["CAM_FRONT", "CAM_FRONT_LEFT", "CAM_FRONT_RIGHT",
@@ -133,11 +137,14 @@ def create_nuscenes_infos(
         print(f"wrote {scene['name']}: {len(sample_data_list)} sample_datas")
 
 
-def _write_lidar_depth(nusc, data_dir, cam_sd, rec, window_s):  # pragma: no cover
+def load_lidar_points(path: str) -> np.ndarray:
+    """nuScenes lidar .pcd.bin: flat float32 (x, y, z, intensity, ring)."""
+    return np.fromfile(path, dtype=np.float32).reshape(-1, 5)[:, :3]
+
+
+def _write_lidar_depth(nusc, data_dir, cam_sd, rec, window_s):
     """Accumulate lidar sweeps within +-window_s of the camera timestamp and
     rasterize per-pixel depth (create_nuscenes_infos.py:44-99)."""
-    from nuscenes.utils.data_classes import LidarPointCloud
-
     sample = nusc.get("sample", cam_sd["sample_token"])
     lidar_token = sample["data"]["LIDAR_TOP"]
     cam_pose = rec["ego2global"] @ rec["cam2ego"]
@@ -157,12 +164,12 @@ def _write_lidar_depth(nusc, data_dir, cam_sd, rec, window_s):  # pragma: no cov
         sd_l = nusc.get("sample_data", tok)
         if abs(sd_l["timestamp"] - cam_sd["timestamp"]) / 1e6 > window_s:
             continue
-        pc = LidarPointCloud.from_file(os.path.join(str(data_dir), sd_l["filename"]))
+        pts_l = load_lidar_points(os.path.join(str(data_dir), sd_l["filename"]))
         cs = nusc.get("calibrated_sensor", sd_l["calibrated_sensor_token"])
         ego = nusc.get("ego_pose", sd_l["ego_pose_token"])
         l2e = quat_translation_to_matrix(cs["rotation"], cs["translation"])
         e2g = quat_translation_to_matrix(ego["rotation"], ego["translation"])
-        pts = (e2g @ l2e @ np.vstack([pc.points[:3], np.ones(pc.nbr_points())]))[:3].T
+        pts = (e2g @ l2e @ np.vstack([pts_l.T, np.ones(len(pts_l))]))[:3].T
         points_world.append(pts)
     if not points_world:
         return

@@ -250,6 +250,9 @@ def main(argv=None) -> int:
                         help="local torch checkpoint of dino_vitb8")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--max-fit-images", type=int, default=200)
+    parser.add_argument("--image-size", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="override the 576x1024 input resize (CI fixtures)")
     args = parser.parse_args(argv)
 
     import glob
@@ -261,6 +264,7 @@ def main(argv=None) -> int:
 
     jax_setup()
     params = load_dino_params(args.weights)
+    shape = tuple(args.image_size) if args.image_size else INPUT_IMAGE_SHAPE
     feature_fn = jax.jit(lambda p, x: vit_key_features(p, x))
 
     image_paths = sorted(glob.glob(str(args.data_dir / "samples" / "*.jpg")))
@@ -271,7 +275,7 @@ def main(argv=None) -> int:
         paths = image_paths[:: max(1, len(image_paths) // args.max_fit_images)]
         feats = []
         for i in range(0, len(paths), args.batch_size):
-            batch = np.stack([preprocess_image(p) for p in paths[i : i + args.batch_size]])
+            batch = np.stack([preprocess_image(p, shape) for p in paths[i : i + args.batch_size]])
             feats.append(np.asarray(feature_fn(params, jnp.asarray(batch))))
         feats = np.concatenate(feats)
         pca_feats, pca_results = pca_reduction(feats)
@@ -286,7 +290,7 @@ def main(argv=None) -> int:
         red = pca["reduction_matrix"]
         for i in range(0, len(image_paths), args.batch_size):
             chunk = image_paths[i : i + args.batch_size]
-            batch = np.stack([preprocess_image(p) for p in chunk])
+            batch = np.stack([preprocess_image(p, shape) for p in chunk])
             feats = np.asarray(feature_fn(params, jnp.asarray(batch)))
             feats = (feats - pca["mean"]) @ red
             feats = (feats - pca["min"]) / (pca["max"] - pca["min"])
