@@ -1,0 +1,129 @@
+"""StreamMapNet and RasterMapper assemblies with the prior-fusion hook.
+
+Reference spec: online-mapping/plugin/models/mapers/StreamMapNet.py
+(:72-73, 160-230: BEVFormer backbone -> streaming ConvGRU BEV memory ->
+PriorFusion2D on the BEV features -> MapDetectorHead) and RasterMapper.py
+(:13-57: same backbone + prior hook, rasterized segmentation head).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.prior_fusion import PriorFusion2D
+from .bev_encoder import BEVEncoder
+from .conv_gru import ConvGRU, warp_bev
+from .map_head import MapDetectorHead
+
+
+class StreamMapNet(nn.Module):
+    """Single-sample forward (the reference batches by list; batching here
+    is jax.vmap at the call site when needed).
+
+    __call__ inputs:
+      imgs (N_cam, 3, H, W); lidar2img (N_cam, 4, 4);
+      prev_bev (C, Hb, Wb) or None  — streaming BEV memory;
+      prev2curr (3, 3) 2D ego motion for the BEV warp;
+      prior_feats/coords/valid — voxelized priors (prior/consume.py), None
+        to run prior-free.
+    Returns dict(scores, lines, queries, bev).
+    """
+
+    bev_hw: Tuple[int, int] = (25, 50)
+    roi_size: Tuple[float, float] = (60.0, 30.0)
+    img_size: Tuple[int, int] = (32, 64)
+    embed_dim: int = 64
+    num_queries: int = 50
+    num_points: int = 20
+    num_classes: int = 3
+    streaming_bev: bool = True
+    prior_pc_range: Optional[Sequence[float]] = None
+    prior_voxel_size: Optional[Sequence[float]] = None
+    prior_voxel_channels: int = 68
+
+    @nn.compact
+    def __call__(self, imgs, lidar2img, prev_bev=None, prev2curr=None,
+                 prev_queries=None, prior_feats=None, prior_coords=None,
+                 prior_valid=None, train: bool = False):
+        bev = BEVEncoder(
+            bev_hw=self.bev_hw, roi_size=self.roi_size,
+            img_size=self.img_size, embed_dim=self.embed_dim,
+            name="backbone",
+        )(imgs, lidar2img, train)  # (C, Hb, Wb)
+
+        if self.streaming_bev and prev_bev is not None:
+            warped = warp_bev(prev_bev, prev2curr, self.roi_size)
+            bev = ConvGRU(self.embed_dim, name="stream_fusion")(warped, bev)
+
+        if prior_feats is not None:
+            # Prior injection on the 2D BEV features
+            # (StreamMapNet.py:192-197; PriorFusion2D contract).
+            fused = PriorFusion2D(
+                prior_pc_range=self.prior_pc_range,
+                prior_voxel_size=self.prior_voxel_size,
+                bev_feats_channels=self.embed_dim,
+                voxel_channels=self.prior_voxel_channels,
+                hidden_channels=self.embed_dim,
+                name="prior_fusion",
+            )(bev[None], prior_feats[None], prior_coords[None],
+              prior_valid[None], train)
+            bev = fused[0]
+
+        out = MapDetectorHead(
+            num_queries=self.num_queries, num_classes=self.num_classes,
+            num_points=self.num_points, embed_dim=self.embed_dim,
+            roi_size=self.roi_size, name="head",
+        )(bev, prev_queries)
+        out["bev"] = bev
+        return out
+
+
+class RasterMapper(nn.Module):
+    """BEVFormer-raster baseline (RasterMapper.py:13-57): same backbone +
+    prior hook, per-pixel multi-label segmentation head on the BEV."""
+
+    bev_hw: Tuple[int, int] = (25, 50)
+    roi_size: Tuple[float, float] = (60.0, 30.0)
+    img_size: Tuple[int, int] = (32, 64)
+    embed_dim: int = 64
+    num_classes: int = 3
+    prior_pc_range: Optional[Sequence[float]] = None
+    prior_voxel_size: Optional[Sequence[float]] = None
+    prior_voxel_channels: int = 68
+
+    @nn.compact
+    def __call__(self, imgs, lidar2img, prior_feats=None, prior_coords=None,
+                 prior_valid=None, train: bool = False):
+        bev = BEVEncoder(
+            bev_hw=self.bev_hw, roi_size=self.roi_size,
+            img_size=self.img_size, embed_dim=self.embed_dim,
+            name="backbone",
+        )(imgs, lidar2img, train)
+        if prior_feats is not None:
+            fused = PriorFusion2D(
+                prior_pc_range=self.prior_pc_range,
+                prior_voxel_size=self.prior_voxel_size,
+                bev_feats_channels=self.embed_dim,
+                voxel_channels=self.prior_voxel_channels,
+                hidden_channels=self.embed_dim,
+                name="prior_fusion",
+            )(bev[None], prior_feats[None], prior_coords[None],
+              prior_valid[None], train)
+            bev = fused[0]
+        h = bev.transpose(1, 2, 0)  # HWC
+        h = nn.Conv(self.embed_dim, (3, 3), padding="SAME")(h)
+        h = nn.relu(h)
+        logits = nn.Conv(self.num_classes, (1, 1))(h)
+        return logits.transpose(2, 0, 1)  # (classes, Hb, Wb)
+
+
+def raster_loss(logits: jnp.ndarray, gt_masks: jnp.ndarray) -> jnp.ndarray:
+    """Per-class binary cross-entropy on the rasterized map."""
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * gt_masks
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )

@@ -1,0 +1,210 @@
+"""Online-mapping chain tests (D7/D8/D10).
+
+Vector-eval parity against hand-computable cases, ConvGRU/warp geometry,
+and random-tensor forwards through StreamMapNet (streaming + prior fusion)
+and RasterMapper, mirroring the reference's forward-test style.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from presight_tpu.mapping import (
+    ConvGRU, MapDetectorHead, RasterMapper, StreamMapNet, VectorEvaluate,
+    average_precision, chamfer_distance, instance_match, interp_fixed_num,
+    map_losses, raster_loss, warp_bev,
+)
+from presight_tpu.mapping.map_head import greedy_match
+
+
+def line(x0, y0, x1, y1, n=5):
+    return np.stack([np.linspace(x0, x1, n), np.linspace(y0, y1, n)], -1)
+
+
+def test_interp_fixed_num_arclength_uniform():
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 3.0]])
+    out = interp_fixed_num(pts, 9)
+    assert out.shape == (9, 2)
+    seg = np.linalg.norm(np.diff(out, axis=0), axis=1)
+    np.testing.assert_allclose(seg, seg[0], rtol=1e-6)  # uniform arclength
+    np.testing.assert_allclose(out[0], pts[0])
+    np.testing.assert_allclose(out[-1], pts[-1])
+
+
+def test_chamfer_distance_known_value():
+    a = interp_fixed_num(line(0, 0, 10, 0), 50)
+    b = interp_fixed_num(line(0, 1, 10, 1), 50)  # parallel, offset 1
+    np.testing.assert_allclose(chamfer_distance(a, b), 1.0, rtol=1e-3)
+
+
+def test_instance_match_greedy_semantics():
+    gt = np.stack([interp_fixed_num(line(0, 0, 10, 0), 20)])
+    preds = np.stack([
+        interp_fixed_num(line(0, 0.1, 10, 0.1), 20),   # close, low score
+        interp_fixed_num(line(0, 0.2, 10, 0.2), 20),   # close, high score
+        interp_fixed_num(line(0, 5, 10, 5), 20),       # far
+    ])
+    scores = np.array([0.5, 0.9, 0.99])
+    (tp, fp), = instance_match(preds, scores, gt, [1.0])
+    # highest-scoring in-threshold pred claims the gt; the other close pred
+    # becomes fp (gt covered); the far one is fp.
+    assert tp.tolist() == [0.0, 1.0, 0.0]
+    assert fp.tolist() == [1.0, 0.0, 1.0]
+
+
+def test_average_precision_perfect_and_zero():
+    assert average_precision(np.array([1.0]), np.array([1.0])) == 1.0
+    assert average_precision(np.array([0.0]), np.array([0.0])) == 0.0
+
+
+def test_vector_evaluate_end_to_end():
+    gts = {
+        "t0": {0: [line(0, 0, 10, 0)], 1: [], 2: [line(0, -5, 0, 5)]},
+        "t1": {0: [], 1: [line(-5, 0, 5, 0)], 2: []},
+    }
+    results = {
+        "t0": {
+            "vectors": [line(0, 0.2, 10, 0.2), line(0.2, -5, 0.2, 5)],
+            "scores": [0.9, 0.8],
+            "labels": [0, 2],
+        },
+        "t1": {"vectors": [line(-5, 0.1, 5, 0.1)], "scores": [0.95],
+               "labels": [1]},
+    }
+    ev = VectorEvaluate(gts)
+    out = ev.evaluate(results)
+    assert out["mAP"] == pytest.approx(1.0)  # every gt matched within 0.5
+    # and a miss drops AP
+    results["t1"]["vectors"] = [line(-5, 3, 5, 3)]
+    out2 = ev.evaluate(results)
+    assert out2["mAP"] < out["mAP"]
+
+
+def test_warp_bev_identity_and_translation():
+    C, H, W = 2, 8, 16
+    rng = np.random.RandomState(0)
+    bev = jnp.asarray(rng.randn(C, H, W).astype(np.float32))
+    eye = jnp.eye(3)
+    out = warp_bev(bev, eye, (32.0, 16.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(bev), atol=1e-5)
+    # translate by exactly one cell width (2 m in x for W=16 over 32 m)
+    t = jnp.asarray(np.array([[1, 0, 2.0], [0, 1, 0], [0, 0, 1]], np.float32))
+    out = np.asarray(warp_bev(bev, t, (32.0, 16.0)))
+    np.testing.assert_allclose(out[:, :, 1:], np.asarray(bev)[:, :, :-1],
+                               atol=1e-4)
+
+
+def test_conv_gru_shapes_and_gating():
+    gru = ConvGRU(8)
+    h = jnp.ones((8, 4, 6))
+    x = jnp.zeros((8, 4, 6))
+    params = gru.init(jax.random.PRNGKey(0), h, x)
+    out = gru.apply(params, h, x)
+    assert out.shape == (8, 4, 6)
+
+
+@pytest.fixture(scope="module")
+def smn_inputs():
+    rng = np.random.RandomState(0)
+    N = 2
+    imgs = jnp.asarray(rng.rand(N, 3, 32, 64).astype(np.float32))
+    # simple pinhole cams looking +x / -x in ego frame
+    intr = np.array([[40.0, 0, 32], [0, 40.0, 16], [0, 0, 1]], np.float32)
+    l2i = []
+    for flip in (1.0, -1.0):
+        rot = np.array([[0, -1, 0], [0, 0, -1], [flip, 0, 0]], np.float32)
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :3] = intr @ rot
+        l2i.append(P)
+    lidar2img = jnp.asarray(np.stack(l2i))
+    V = 32
+    pf = jnp.asarray(rng.randn(V, 68).astype(np.float32))
+    pc = jnp.asarray(np.stack([
+        rng.randint(0, 100, V), rng.randint(0, 50, V), rng.randint(0, 4, V)
+    ], -1).astype(np.int32))
+    pv = jnp.asarray(rng.rand(V) > 0.2)
+    return imgs, lidar2img, pf, pc, pv
+
+
+def test_stream_mapnet_forward_streaming_and_prior(smn_inputs):
+    imgs, lidar2img, pf, pc, pv = smn_inputs
+    model = StreamMapNet(
+        bev_hw=(10, 20), roi_size=(60.0, 30.0), img_size=(32, 64),
+        embed_dim=32, num_queries=12, num_points=10,
+        prior_pc_range=[-30.0, -15.0, -1.0, 30.0, 15.0, 1.0],
+        prior_voxel_size=[0.6, 0.6, 0.5],
+    )
+    args = dict(prior_feats=pf, prior_coords=pc, prior_valid=pv)
+    # init with the streaming branch active so ConvGRU params exist
+    params = model.init(
+        jax.random.PRNGKey(0), imgs, lidar2img,
+        prev_bev=jnp.zeros((32, 10, 20)), prev2curr=jnp.eye(3),
+        prev_queries=jnp.zeros((5, 32)), **args)
+    out, _ = model.apply(params, imgs, lidar2img, mutable=["batch_stats"],
+                         **args)
+    assert out["scores"].shape == (12, 3)
+    assert out["lines"].shape == (12, 10, 2)
+    assert out["bev"].shape == (32, 10, 20)
+
+    # streaming frame 2: propagate top-k queries + warp the BEV memory
+    k = 5
+    top = jnp.argsort(-out["scores"].max(-1))[:k]
+    prev_q = out["queries"][top]
+    prev2curr = jnp.asarray(np.array(
+        [[1, 0, 0.5], [0, 1, 0.0], [0, 0, 1]], np.float32))
+    out2, _ = model.apply(
+        params, imgs, lidar2img, prev_bev=out["bev"], prev2curr=prev2curr,
+        prev_queries=prev_q, mutable=["batch_stats"], **args)
+    assert np.isfinite(np.asarray(out2["scores"])).all()
+
+
+def test_map_losses_decrease_on_overfit(smn_inputs):
+    import optax
+
+    imgs, lidar2img, *_ = smn_inputs
+    model = StreamMapNet(bev_hw=(10, 20), img_size=(32, 64), embed_dim=32,
+                         num_queries=12, num_points=10, streaming_bev=False)
+    params = model.init(jax.random.PRNGKey(0), imgs, lidar2img)
+    rng = np.random.RandomState(1)
+    gt_lines = jnp.asarray(rng.rand(3, 10, 2).astype(np.float32) * 20 - 10)
+    gt_labels = jnp.asarray(np.array([0, 1, 2], np.int32))
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, assignment):
+        out, _ = model.apply(p, imgs, lidar2img, mutable=["batch_stats"])
+        losses = map_losses(out, gt_lines, gt_labels, assignment)
+        return losses["cls_loss"] + losses["reg_loss"]
+
+    losses = []
+    state = params
+    for _ in range(5):
+        out, _ = model.apply(state, imgs, lidar2img, mutable=["batch_stats"])
+        assignment = jnp.asarray(greedy_match(
+            np.asarray(out["lines"]), np.asarray(gt_lines)))
+        loss, grads = jax.value_and_grad(loss_fn)(state, assignment)
+        updates, opt_state = tx.update(grads, opt_state, state)
+        state = optax.apply_updates(state, updates)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_raster_mapper_forward_and_loss(smn_inputs):
+    imgs, lidar2img, pf, pc, pv = smn_inputs
+    model = RasterMapper(
+        bev_hw=(10, 20), img_size=(32, 64), embed_dim=32,
+        prior_pc_range=[-30.0, -15.0, -1.0, 30.0, 15.0, 1.0],
+        prior_voxel_size=[0.6, 0.6, 0.5],
+    )
+    params = model.init(jax.random.PRNGKey(0), imgs, lidar2img,
+                        prior_feats=pf, prior_coords=pc, prior_valid=pv)
+    logits, _ = model.apply(params, imgs, lidar2img, prior_feats=pf,
+                            prior_coords=pc, prior_valid=pv,
+                            mutable=["batch_stats"])
+    assert logits.shape == (3, 10, 20)
+    gt = jnp.asarray((np.random.RandomState(2).rand(3, 10, 20) > 0.8)
+                     .astype(np.float32))
+    loss = raster_loss(logits, gt)
+    assert np.isfinite(float(loss)) and float(loss) > 0
