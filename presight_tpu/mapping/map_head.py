@@ -88,23 +88,31 @@ class MapDetectorHead(nn.Module):
 
 
 def greedy_match(pred_lines: np.ndarray, gt_lines: np.ndarray) -> np.ndarray:
-    """Host-side assignment: for each gt, the nearest unassigned pred by
-    mean point-to-point L2 (stand-in for the reference's Hungarian; returns
-    (num_gt,) pred indices)."""
+    """Host-side optimal assignment (Hungarian, like the reference's
+    matcher) on mean point-to-point L2 cost; returns (num_gt,) pred
+    indices. Falls back to greedy nearest-unassigned without scipy."""
     if len(gt_lines) == 0:
         return np.zeros((0,), np.int32)
     cost = np.linalg.norm(
         pred_lines[:, None] - gt_lines[None], axis=-1
     ).mean(-1)  # (Q, G)
-    assigned = np.full(len(gt_lines), -1, np.int32)
-    used = np.zeros(len(pred_lines), bool)
-    order = np.argsort(cost.min(0))
-    for g in order:
-        c = np.where(used, np.inf, cost[:, g])
-        p = int(np.argmin(c))
-        assigned[g] = p
-        used[p] = True
-    return assigned
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        rows, cols = linear_sum_assignment(cost)
+        assigned = np.zeros(len(gt_lines), np.int32)
+        assigned[cols] = rows.astype(np.int32)
+        return assigned
+    except ImportError:  # pragma: no cover
+        assigned = np.full(len(gt_lines), -1, np.int32)
+        used = np.zeros(len(pred_lines), bool)
+        order = np.argsort(cost.min(0))
+        for g in order:
+            c = np.where(used, np.inf, cost[:, g])
+            p = int(np.argmin(c))
+            assigned[g] = p
+            used[p] = True
+        return assigned
 
 
 def map_losses(outputs: Dict, gt_lines: jnp.ndarray, gt_labels: jnp.ndarray,

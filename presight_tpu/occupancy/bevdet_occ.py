@@ -8,9 +8,13 @@ the reference's ResNet50+CustomFPN at configurable width (the prior
 contract and the occupancy head — what PreSight adds — are
 semantics-complete; the backbone is a capacity knob).
 
-Scope note vs BEVStereo4D: the temporal 4D stacking (previous-frame BEV
-alignment, bevdet.py BEVDet4D) refines features over time; this module is
-the single-frame chain with the same prior-fusion injection point.
+Temporal (4D) support: pass ``prev_bev`` (+ ``prev2curr`` 2D ego motion) and
+set ``temporal=True`` — the previous frame's BEV volume is ego-aligned
+(bilinear warp per z-slice, BEVDet4D shift_feature semantics,
+bevdet.py BEVDet4D) and channel-concatenated before the BEV encoder.
+Scope note vs BEVStereo4D: the stereo cost volume refines the DEPTH
+distribution only (view_transformer.py:838+); the mono camera-aware
+DepthNet stands in for it here.
 """
 
 from __future__ import annotations
@@ -119,10 +123,12 @@ class BEVDetOcc(nn.Module):
     prior_voxel_size: Optional[Sequence[float]] = None
     prior_in_channels: int = 68
     use_prior_only: bool = False
+    temporal: bool = False
 
     @nn.compact
     def __call__(self, imgs, sensor2ego, cam2imgs, post_rots, post_trans, bda,
                  prior_feats=None, prior_coords=None, prior_valid=None,
+                 prev_bev=None, prev2curr=None,
                  train: bool = False):
         B, N, _, H, W = imgs.shape
         x = ImageEncoder(self.img_widths, self.neck_channels)(
@@ -138,6 +144,33 @@ class BEVDetOcc(nn.Module):
         )
         bev, depth = vt(x, sensor2ego, cam2imgs, post_rots, post_trans, bda,
                         train)  # (B, C, Z, Y, X)
+
+        if self.temporal:
+            # BEVDet4D: align the previous frame's BEV volume to the current
+            # ego frame (per-z-slice bilinear warp) and concat on channels.
+            from ..mapping.conv_gru import warp_bev
+
+            if prev_bev is None:
+                prev_bev = jnp.zeros_like(bev)
+            if prev2curr is None:
+                prev2curr = jnp.broadcast_to(jnp.eye(3), (bev.shape[0], 3, 3))
+            gx = self.grid_config["x"]
+            gy = self.grid_config["y"]
+            roi = (gx[1] - gx[0], gy[1] - gy[0])
+
+            def align_one(vol, p2c):
+                # vol (C, Z, Y, X) -> warp each z slice in the (Y, X) plane
+                return jax.vmap(lambda sl: warp_bev(sl, p2c, roi),
+                                in_axes=1, out_axes=1)(vol)
+
+            aligned = jax.vmap(align_one)(prev_bev, prev2curr)
+            bev = jnp.concatenate([bev, aligned], axis=1)
+            # fuse back to the single-frame channel count (the reference's
+            # pre_process/bev-encoder widening collapsed into one 1x1 conv)
+            h = jnp.transpose(bev, (0, 2, 3, 4, 1))
+            h = nn.Conv(self.view_out_channels, (1, 1, 1),
+                        name="temporal_fuse")(h)
+            bev = jnp.transpose(h, (0, 4, 1, 2, 3))
 
         if prior_feats is not None:
             # Prior injection point (bevdet.py:62-78): permute the volume to

@@ -210,3 +210,30 @@ def test_prior_chain_end_to_end_into_occ_miou(tmp_path, occ_model):
     metric.add_batch(pred, gt)
     miou = metric.miou()
     assert np.isfinite(miou) and 0.0 <= miou <= 100.0
+
+
+def test_bevdet_occ_temporal_two_frames():
+    """BEVDet4D-style temporal stacking: two-frame chain with ego-aligned
+    previous BEV (bevdet.py BEVDet4D shift_feature semantics)."""
+    model = BEVDetOcc(
+        grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
+        view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
+        bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
+        num_classes=18, temporal=True,
+    )
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.rand(1, 2, 3, *INPUT_SIZE).astype(np.float32))
+    geo = _geometry(1, 2)
+    params = model.init(jax.random.PRNGKey(0), imgs, *geo)
+    # frame 1: zero history
+    (occ1, _), _ = model.apply(params, imgs, *geo, mutable=["batch_stats"])
+    # reconstruct the frame-1 BEV to feed frame 2 (the trainer would cache it)
+    prev_bev = jnp.asarray(rng.randn(1, 16, 8, 20, 20).astype(np.float32))
+    prev2curr = jnp.asarray(
+        np.array([[[1, 0, 1.0], [0, 1, 0], [0, 0, 1]]], np.float32))
+    (occ2, _), _ = model.apply(params, imgs, *geo, prev_bev=prev_bev,
+                               prev2curr=prev2curr, mutable=["batch_stats"])
+    assert occ1.shape == occ2.shape == (1, 20, 20, 8, 18)
+    assert np.isfinite(np.asarray(occ2)).all()
+    # history must influence the output
+    assert float(np.abs(np.asarray(occ1) - np.asarray(occ2)).max()) > 0
