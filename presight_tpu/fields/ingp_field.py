@@ -30,8 +30,8 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.hash_encoding import HashEncodingConfig, hash_encode, init_hash_table
 from ..ops.math import contract_positions, sh_encoding, trunc_exp
-from ..ops.mlp import apply_mlp_grouped, init_mlp
-from .router import Routing
+from ..ops.mlp import apply_mlp_blocks, apply_mlp_grouped, init_mlp
+from .router import PaddedRouting, Routing
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,6 +144,60 @@ def density_and_embedding_sorted(
     sem_feat = h[..., 1 + config.geo_feat_dim :]
     density = trunc_exp(density_logit) * selector
     return density, geo_feat, sem_feat
+
+
+def density_and_embedding_padded(
+    params: Dict,
+    config: INGPFieldConfig,
+    positions_padded: jnp.ndarray,  # (n_pad, 3), block-padded by expert
+    routing: PaddedRouting,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """density_and_embedding_sorted on a PaddedRouting layout: identical math
+    (same rows land in the same blocks), but the grouped-MLP pad/unpad
+    permutes are gone — results stay in padded slots for the other heads."""
+    e = routing.expert_of_slot
+    aabb = jax.lax.stop_gradient(params["aabbs"])[e]  # (n_pad, 2, 3) buffer
+    unit, selector = contract_positions(positions_padded, aabb)
+    feats = hash_encode(params["hash_table"], unit, config.hash, expert_ids=e)
+    feats = checkpoint_name(feats, "hash_enc")
+    h = apply_mlp_blocks(params["base_mlp"], feats, routing.block_expert)
+    density_logit = h[..., 0]
+    geo_feat = h[..., 1 : 1 + config.geo_feat_dim]
+    sem_feat = h[..., 1 + config.geo_feat_dim :]
+    density = trunc_exp(density_logit) * selector
+    return density, geo_feat, sem_feat
+
+
+def rgb_padded(
+    params: Dict,
+    config: INGPFieldConfig,
+    directions_padded: jnp.ndarray,  # (n_pad, 3) unit
+    geo_feat_padded: jnp.ndarray,  # (n_pad, geo)
+    appearance_padded: Optional[jnp.ndarray],  # (n_pad, A) or None
+    routing: PaddedRouting,
+) -> jnp.ndarray:
+    """rgb_sorted on a PaddedRouting layout (ingp_field.py:198-243)."""
+    d_enc = sh_encoding(directions_padded, levels=4)
+    parts = [d_enc, geo_feat_padded]
+    if appearance_padded is not None:
+        parts.append(appearance_padded)
+    h = jnp.concatenate(parts, axis=-1)
+    return apply_mlp_blocks(
+        params["rgb_head"], h, routing.block_expert,
+        out_activation=jax.nn.sigmoid,
+    )
+
+
+def semantics_padded(
+    params: Dict,
+    config: INGPFieldConfig,
+    sem_feat_padded: jnp.ndarray,
+    routing: PaddedRouting,
+) -> jnp.ndarray:
+    """semantics_sorted on a PaddedRouting layout."""
+    return apply_mlp_blocks(
+        params["semantic_head"], sem_feat_padded, routing.block_expert
+    )
 
 
 def rgb_sorted(

@@ -60,3 +60,71 @@ def build_routing(expert_ids: jnp.ndarray, num_experts: int) -> Routing:
 
 def route_positions(positions: jnp.ndarray, centroids: jnp.ndarray) -> Routing:
     return build_routing(assign_experts(positions, centroids), centroids.shape[0])
+
+
+class PaddedRouting(NamedTuple):
+    """Routing fused with the grouped-matmul block layout.
+
+    The sorted-dispatch design (Routing) moves every MLP input through TWO
+    permutes: sort-by-expert, then pad-to-block-aligned-slabs inside
+    apply_mlp_grouped (and their inverses on the way out). Both maps are
+    injections, so their composition is one injection: one gather puts any
+    per-sample array straight into its padded block slot, and one gather
+    brings results back. Measured on v5e each eliminated permute is a
+    ~0.5M-row gather (~5-13 ns/row) in the forward, the remat recompute,
+    AND the backward dual — this fusion removes ~half the routing gathers
+    of a field evaluation.
+    """
+
+    expert_ids: jnp.ndarray  # (N,) int32, original order
+    to_slot: jnp.ndarray  # (n_pad,) int32: padded[s] = x[to_slot[s]]
+    from_slot: jnp.ndarray  # (N,) int32: x[i] lives at padded slot from_slot[i]
+    slot_valid: jnp.ndarray  # (n_pad,) bool — False on block-padding slots
+    block_expert: jnp.ndarray  # (n_pad // block,) int32
+    expert_of_slot: jnp.ndarray  # (n_pad,) int32
+    group_sizes: jnp.ndarray  # (E,) int32
+
+
+def build_padded_routing(expert_ids: jnp.ndarray, num_experts: int,
+                         block: int) -> PaddedRouting:
+    """Compose sort-by-expert with the block-padded slab layout."""
+    from ..ops.mlp import _blocked_layout
+
+    routing = build_routing(expert_ids, num_experts)
+    n = expert_ids.shape[0]
+    dest, src, slot_valid, block_expert, _n_pad = _blocked_layout(
+        routing.group_sizes, n, block
+    )
+    return PaddedRouting(
+        expert_ids=expert_ids,
+        to_slot=routing.order[src],
+        from_slot=dest[routing.inverse],
+        slot_valid=slot_valid,
+        block_expert=block_expert,
+        expert_of_slot=jnp.repeat(block_expert, block),
+        group_sizes=routing.group_sizes,
+    )
+
+
+def route_positions_padded(positions: jnp.ndarray, centroids: jnp.ndarray,
+                           block: int) -> PaddedRouting:
+    return build_padded_routing(
+        assign_experts(positions, centroids), centroids.shape[0], block
+    )
+
+
+def pad_rows(x: jnp.ndarray, routing: PaddedRouting) -> jnp.ndarray:
+    """x (N, ...) -> padded (n_pad, ...), zeros on padding slots; the exact
+    VJP is the dual gather (ops/permute.py)."""
+    from ..ops.permute import permute
+
+    return permute(x, routing.to_slot, routing.from_slot,
+                   fwd_valid=routing.slot_valid)
+
+
+def unpad_rows(h: jnp.ndarray, routing: PaddedRouting) -> jnp.ndarray:
+    """padded (n_pad, ...) -> (N, ...) in original row order."""
+    from ..ops.permute import permute
+
+    return permute(h, routing.from_slot, routing.to_slot,
+                   bwd_valid=routing.slot_valid)

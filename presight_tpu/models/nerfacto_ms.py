@@ -23,13 +23,22 @@ import numpy as np
 
 from ..fields.ingp_field import (
     INGPFieldConfig,
+    density_and_embedding_padded,
     density_and_embedding_sorted,
     init_ingp_field,
+    rgb_padded,
     rgb_sorted,
+    semantics_padded,
     semantics_sorted,
 )
 from ..fields.prop_field import PropFieldConfig, init_prop_field, prop_density
-from ..fields.router import build_routing, route_positions
+from ..fields.router import (
+    build_routing,
+    pad_rows,
+    route_positions,
+    route_positions_padded,
+    unpad_rows,
+)
 from ..fields.sky_field import SkyFieldConfig, init_sky_field, sky_outputs_sorted
 from ..ops import losses as L
 from ..ops.permute import sort_rows, unsort_rows
@@ -268,10 +277,13 @@ def apply_collider(bundle: RayBundle, config: NerfactoNuscMSConfig) -> RayBundle
 
 
 # Rematerialize everything inside the checkpointed field regions EXCEPT the
-# hash-grid encodings: re-gathering table rows in the backward pass costs as
+# hash-grid encodings (re-gathering table rows in the backward pass costs as
 # much as the forward gather, while the saved (N, L*F) encodings are a small
-# fraction of the per-sample feature activations remat is there to free.
-_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names("hash_enc")
+# fraction of the per-sample feature activations remat is there to free) and
+# the routing maps (int32; recomputing them costs two 0.5M-element argsorts).
+_REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
+    "hash_enc", "routing"
+)
 
 
 def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
@@ -323,57 +335,72 @@ def forward(
     positions = ray_samples.positions().reshape(-1, 3)  # (N, 3)
     fcfg = config.field
 
-    directions = jnp.broadcast_to(
-        bundle.directions[:, None, :], (num_rays, num_samples, 3)
-    ).reshape(-1, 3)
     app = _embed_appearance(params, config, ray_samples, train)  # (R, A) or None
-    app_flat = None
-    if app is not None:
-        app_flat = jnp.broadcast_to(
-            app[:, None, :], (num_rays, num_samples, app.shape[-1])
-        ).reshape(-1, app.shape[-1])
+    ray_directions = bundle.directions  # (R, 3); per-sample via ray_of_slot
 
     deltas = ray_samples.deltas()
 
-    def field_eval(field_params, positions, directions, app_flat, deltas):
+    def field_eval(field_params, positions, ray_directions, app, deltas):
         """Route -> field heads -> volume-render, all inside one (optionally
         checkpointed) region. Rendering inside the boundary matters: the
         residuals crossing it are per-RAY composites (R x {3, 64, S}) instead
         of per-SAMPLE features (R*S x 64 alone is ~4 GB at 65k rays), so
-        rematerialization makes activation memory ray-bounded."""
-        routing = route_positions(positions, field_params["centroids"])
-        pos_sorted = sort_rows(positions, routing.order, routing.inverse)
-        density_s, geo_s, sem_s = density_and_embedding_sorted(
-            field_params, fcfg, pos_sorted, routing
+        rematerialization makes activation memory ray-bounded.
+
+        Routing uses the composed sort+block-pad layout (PaddedRouting):
+        one gather puts each per-sample array straight into its grouped-
+        matmul slot, and per-ray inputs (directions, appearance) gather
+        straight from their compact (R, .) arrays — the per-sample
+        broadcasts and the per-head pad/unpad permutes all disappear.
+        """
+        from ..ops.mlp import GROUP_BLOCK
+
+        routing = route_positions_padded(
+            positions, field_params["centroids"], GROUP_BLOCK
         )
-        rgb_s = rgb_sorted(
+        # Save the routing maps across the remat boundary: recomputing them
+        # in the backward would redo two 0.5M-element argsorts + index
+        # gathers for a few MB of int32 residuals.
+        from jax.ad_checkpoint import checkpoint_name
+
+        routing = routing._replace(
+            to_slot=checkpoint_name(routing.to_slot, "routing"),
+            from_slot=checkpoint_name(routing.from_slot, "routing"),
+        )
+        ray_of_slot = routing.to_slot // num_samples  # (n_pad,)
+
+        pos_p = pad_rows(positions, routing)
+        density_p, geo_p, sem_p = density_and_embedding_padded(
+            field_params, fcfg, pos_p, routing
+        )
+        rgb_p = rgb_padded(
             field_params, fcfg,
-            sort_rows(directions, routing.order, routing.inverse), geo_s,
-            None if app_flat is None
-            else sort_rows(app_flat, routing.order, routing.inverse), routing,
+            ray_directions[ray_of_slot], geo_p,
+            None if app is None else app[ray_of_slot], routing,
         )
-        density = unsort_rows(density_s, routing.order, routing.inverse).reshape(
-            num_rays, num_samples
-        )
-        rgb_samples = unsort_rows(rgb_s, routing.order, routing.inverse).reshape(
-            num_rays, num_samples, 3
-        )
+        density = unpad_rows(density_p, routing).reshape(num_rays, num_samples)
+        rgb_samples = unpad_rows(rgb_p, routing).reshape(num_rays, num_samples, 3)
         weights = get_weights(deltas, density)
         rgb = render_rgb(rgb_samples, weights)
         semantics = None
         if fcfg.use_semantics:
-            sem_feats = semantics_sorted(field_params, fcfg, sem_s, routing)
-            sem_samples = unsort_rows(sem_feats, routing.order, routing.inverse).reshape(
-                num_rays, num_samples, -1
+            sem_feats_p = semantics_padded(field_params, fcfg, sem_p, routing)
+            # Render in padded space: the per-ray weighted sum is a
+            # segment-sum (scatter-add into an (R, sem) buffer, well inside
+            # XLA's fast regime) — skips the (R*S, sem) unpad gather and the
+            # (R, S, sem) materialization. Padding slots carry zero weight.
+            w_slot = pad_rows(weights.reshape(-1), routing)
+            semantics = jax.ops.segment_sum(
+                sem_feats_p * w_slot[:, None], ray_of_slot,
+                num_segments=num_rays,
             )
-            semantics = render_semantics(sem_samples, weights)
         return weights, rgb, semantics
 
     if config.remat:
         field_eval = jax.checkpoint(field_eval, policy=_REMAT_POLICY)
 
     weights, rgb, semantics_ray = field_eval(
-        params["field"], positions, directions, app_flat, deltas
+        params["field"], positions, ray_directions, app, deltas
     )
     weights_list = weights_list + [weights]
     ray_samples_list = ray_samples_list + [ray_samples]

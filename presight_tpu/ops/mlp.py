@@ -179,6 +179,37 @@ def apply_mlp_grouped(
     return out
 
 
+def apply_mlp_blocks(
+    params: Params,
+    h: jnp.ndarray,
+    block_expert: jnp.ndarray,
+    out_activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+) -> jnp.ndarray:
+    """Expert-grouped MLP on an ALREADY block-padded batch (n_pad, in).
+
+    The pad/unpad permutes of apply_mlp_grouped are hoisted out by the
+    caller (fields/router.py PaddedRouting), so several MLP heads can share
+    one padded layout and the per-head permutes disappear. Blocks are the
+    batched-einsum grouped matmul, same as apply_mlp_grouped. The block
+    size is implied by the shapes: n_pad / num_blocks.
+    """
+    n_pad = h.shape[0]
+    num_blocks = block_expert.shape[0]
+    num_layers = len(params)
+    for i, (w, b) in enumerate(params):
+        hb = h.reshape(num_blocks, n_pad // num_blocks, -1)
+        wb = w.astype(h.dtype)[block_expert]  # (num_blocks, in, out)
+        bb = b.astype(h.dtype)[block_expert]  # (num_blocks, out)
+        hb = jnp.einsum("bik,bko->bio", hb, wb,
+                        preferred_element_type=h.dtype) + bb[:, None, :]
+        if i < num_layers - 1:
+            hb = jax.nn.relu(hb)
+        h = hb.reshape(n_pad, -1)
+    if out_activation is not None:
+        h = out_activation(h)
+    return h
+
+
 def apply_mlp_ragged(
     params: Params,
     x: jnp.ndarray,

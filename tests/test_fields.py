@@ -141,3 +141,70 @@ def test_prop_field_density():
     g = jax.grad(lambda t: jnp.sum(prop_density(dict(params, hash_table=t), cfg, pos)))(
         params["hash_table"])
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_padded_routing_matches_sorted_path():
+    """PaddedRouting (sort fused with block padding) must reproduce the
+    sorted-dispatch path exactly: same rows land in the same grouped-matmul
+    blocks, so density/geo/sem/rgb are bitwise-identical after unpadding."""
+    from presight_tpu.fields import (
+        density_and_embedding_padded, pad_rows, rgb_padded,
+        route_positions_padded, semantics_padded, unpad_rows,
+    )
+    from presight_tpu.fields.ingp_field import semantics_sorted
+    from presight_tpu.ops.permute import sort_rows, unsort_rows
+
+    cfg = _small_field_cfg()
+    aabbs, centroids = _aabbs_centroids(2)
+    params = init_ingp_field(jax.random.PRNGKey(0), cfg, 2, aabbs, centroids)
+
+    rng = np.random.RandomState(1)
+    pos = jnp.asarray(np.concatenate([
+        rng.randn(24, 3).astype(np.float32) * 3,
+        rng.randn(8, 3).astype(np.float32) * 3 + [20, 0, 0],
+    ]))
+    d = rng.randn(32, 3).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    app = jnp.asarray(rng.randn(32, 4).astype(np.float32))
+
+    # Sorted path
+    routing = route_positions(pos, centroids)
+    den_s, geo_s, sem_s = density_and_embedding_sorted(
+        params, cfg, pos[routing.order], routing)
+    rgb_s = rgb_sorted(params, cfg, d[routing.order], geo_s,
+                       app[routing.order], routing)
+    semh_s = semantics_sorted(params, cfg, sem_s, routing)
+
+    # Padded path (block=8 to exercise multi-block experts)
+    pr = route_positions_padded(pos, centroids, block=8)
+    den_p, geo_p, sem_p = density_and_embedding_padded(
+        params, cfg, pad_rows(pos, pr), pr)
+    rgb_p = rgb_padded(params, cfg, d[pr.to_slot], geo_p, app[pr.to_slot], pr)
+    semh_p = semantics_padded(params, cfg, sem_p, pr)
+
+    unsort = lambda x: np.asarray(unsort_rows(x, routing.order, routing.inverse))
+    unpad = lambda x: np.asarray(unpad_rows(x, pr))
+    # 1-ulp tolerance: the two paths tile the grouped einsum with different
+    # block sizes here (512 vs 8), which reorders MXU accumulation.
+    close = lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-7, atol=1e-7)
+    close(unpad(den_p), unsort(den_s))
+    close(unpad(rgb_p), unsort(rgb_s))
+    close(unpad(semh_p), unsort(semh_s))
+
+    # Gradients flow through pad/unpad as dual gathers: check against the
+    # sorted path on a scalar readout.
+    def f_pad(p):
+        pr2 = route_positions_padded(pos, p["centroids"], 8)
+        dn, _, _ = density_and_embedding_padded(p, cfg, pad_rows(pos, pr2), pr2)
+        return jnp.sum(unpad_rows(dn, pr2) ** 2)
+
+    def f_sort(p):
+        r2 = route_positions(pos, p["centroids"])
+        dn, _, _ = density_and_embedding_sorted(
+            p, cfg, sort_rows(pos, r2.order, r2.inverse), r2)
+        return jnp.sum(unsort_rows(dn, r2.order, r2.inverse) ** 2)
+
+    g_pad = jax.grad(f_pad)(params)["hash_table"]
+    g_sort = jax.grad(f_sort)(params)["hash_table"]
+    np.testing.assert_allclose(np.asarray(g_pad), np.asarray(g_sort),
+                               rtol=1e-6, atol=1e-8)
