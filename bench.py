@@ -49,7 +49,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         # XLA's fast (<= 8 MB output) scatter regime, experts folded into
         # the hash, cell rows, 5 levels x 8 features.
         config = NerfactoNuscMSConfig(
-            hash_storage="shared", prop_shared_mlp=True,
+            hash_storage="shared", prop_shared_mlp=True, remat=False,
             log2_hashmap_size=15, num_levels=5,
             features_per_level=8,
             proposal_net_args_list=(
@@ -194,7 +194,8 @@ def main():
     # headline is the -tpu method profile ('shared' storage); the corner
     # rung is the reference-exact table layout, reported alongside.
     ladder = [
-        ("shared-profile", 16, 15, 32768),
+        # Headline at the reference's real batch size (65,536 rays/step).
+        ("shared-profile", 16, 15, 65536),
         ("tpu-profile", 16, 20, 16384),
         ("corner", 8, 18, 4096),
     ]

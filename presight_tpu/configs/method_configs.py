@@ -168,6 +168,11 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         cfg.pipeline.model,
         hash_storage="shared",
         prop_shared_mlp=True,
+        # Scan microbatching already bounds activations to one microbatch,
+        # so rematerializing the field interior buys little memory and costs
+        # ~28% of the step re-running MLPs/render in the backward (measured
+        # on v5e at 8x8192-ray microbatches; PERFORMANCE.md round 2).
+        remat=False,
         # 2^15 rows x 64 floats = 8.4 MB per level slab (main field).
         log2_hashmap_size=15,
         num_levels=5,
