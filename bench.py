@@ -118,7 +118,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     state = init_train_state(params, tx)
     steps = TrainStepPair(
         config, tx, split_update=True,
-        microbatch_rays={"shared-profile": 8192, "tpu-profile": 2048}.get(storage, 4096),
+        microbatch_rays={"shared-profile": 16384, "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)
     step_state = {"i": 1000}  # steady-state step counter (past warmup)

@@ -189,6 +189,7 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         cfg,
         experiment_name=cfg.experiment_name + "-tpu",
         method_name=cfg.method_name + "-tpu",
+        microbatch_rays=16384,
         pipeline=dataclasses.replace(cfg.pipeline, model=model),
     )
 

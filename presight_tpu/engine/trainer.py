@@ -69,6 +69,11 @@ class TrainerConfig:
     gradient_accumulation_steps: int = 1
     """Accumulate gradients over k micro-batches before each optimizer step
     (reference trainer.py:475-481)."""
+    microbatch_rays: int = 4096
+    """Rays per lax.scan microbatch inside the grad program. 16384 measured
+    fastest on v5e for the -tpu profile (8192 +11% slower, 32768 +19%);
+    4096 is the conservative default for the reference-exact profiles whose
+    flat tables leave less activation headroom."""
     camera_optimizer_mode: str = "off"
     """'off' (PreSight default, my_datamanager.py:81-84) or 'so3xr3'."""
     num_devices: int = 1
@@ -204,7 +209,8 @@ class Trainer:
         self.state = init_train_state(params, self.tx)
         # split_update + scan microbatching: required at tile scale on TPU
         # (compile-pipeline capacity; PERFORMANCE.md), harmless elsewhere.
-        self.steps = TrainStepPair(model_cfg, self.tx, split_update=True)
+        self.steps = TrainStepPair(model_cfg, self.tx, split_update=True,
+                                   microbatch_rays=cfg.microbatch_rays)
         self.update_sched = ProposalUpdateSchedule(model_cfg)
         self.writer = Writer(self.run_dir, vis=cfg.vis)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
