@@ -40,6 +40,9 @@ def main() -> None:
     # call them (pure-torch fallbacks only).
     _stub("nerfacc", OccGridEstimator=object)
     _stub("wandb", Image=object, init=lambda *a, **k: None, log=lambda *a, **k: None)
+    # cameras.py imports torchvision only for a mask util the ray paths
+    # never touch.
+    _stub("torchvision")
 
     import torch
 
@@ -166,6 +169,68 @@ def main() -> None:
              milestones=np.asarray([250, 500, 750]), gamma=np.float64(0.33),
              lr=np.float64(1e-2))
     print("lr_schedule.npz", lrs[0], lrs[99], lrs[251], lrs[999])
+
+    # ------------------------------------------------ 5. camera rays
+    # EXECUTE the reference Cameras.generate_rays for all three camera
+    # types + OpenCV distortion (cameras.py:320-958). One call per type:
+    # the reference's type dispatch tests `CameraType.X.value in cam_types`
+    # inside an if/elif chain, so a MIXED camera table sends every ray down
+    # the first matching branch — homogeneous tables per call is the only
+    # supported reference usage (our branchless implementation also handles
+    # mixed tables).
+    from nerfstudio.cameras.cameras import Cameras, CameraType
+
+    torch.manual_seed(1)
+    C = 6
+    c2w = torch.eye(4)[:3].repeat(C, 1, 1)
+    for i in range(C):
+        c2w[i, :3, 3] = torch.randn(3)
+        # a simple valid rotation: rotate about y by a random angle
+        a = float(torch.randn(()) * 0.4)
+        c2w[i, :3, :3] = torch.tensor([
+            [np.cos(a), 0.0, np.sin(a)],
+            [0.0, 1.0, 0.0],
+            [-np.sin(a), 0.0, np.cos(a)],
+        ], dtype=torch.float32)
+    dist = torch.zeros(C, 6)
+    dist[1] = torch.tensor([-0.05, 0.01, 0.001, -0.0005, 0.002, -0.001])
+    dist[3] = torch.tensor([0.03, -0.004, 0.0, 0.0, -0.001, 0.002])
+    H, W = 48, 64
+    rng = np.random.RandomState(7)
+    n = 256
+    ci = rng.randint(0, C, n)
+    rows = rng.randint(0, H, n)
+    cols = rng.randint(0, W, n)
+    coords = torch.tensor(np.stack([rows + 0.5, cols + 0.5], -1), dtype=torch.float32)
+
+    type_of_cam = np.array([1, 1, 2, 2, 3, 3], np.int32)  # per-camera target type
+    origins = np.zeros((n, 3), np.float32)
+    directions = np.zeros((n, 3), np.float32)
+    for tval in (1, 2, 3):
+        cams_t = Cameras(
+            camera_to_worlds=c2w,
+            fx=torch.full((C, 1), 40.0), fy=torch.full((C, 1), 42.0),
+            cx=torch.full((C, 1), W / 2), cy=torch.full((C, 1), H / 2),
+            width=torch.full((C, 1), W, dtype=torch.long),
+            height=torch.full((C, 1), H, dtype=torch.long),
+            distortion_params=dist,
+            camera_type=torch.full((C, 1), tval, dtype=torch.long),
+        )
+        m = type_of_cam[ci] == tval
+        rb = cams_t.generate_rays(
+            camera_indices=torch.tensor(ci[m][:, None], dtype=torch.long),
+            coords=coords[torch.tensor(m)],
+        )
+        origins[m] = rb.origins.numpy()
+        directions[m] = rb.directions.numpy()
+
+    np.savez(OUT / "camera_rays.npz",
+             c2w=c2w.numpy(), ctype=type_of_cam,
+             dist=dist.numpy(), fx=40.0, fy=42.0, cx=W / 2, cy=H / 2,
+             cam=ci.astype(np.int32), rows=rows.astype(np.int32),
+             cols=cols.astype(np.int32),
+             origins=origins, directions=directions)
+    print("camera_rays.npz", directions.shape)
 
 
 if __name__ == "__main__":

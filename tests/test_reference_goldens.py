@@ -109,3 +109,31 @@ def test_lr_schedule_matches_executed_reference():
     ))
     ours = np.asarray([float(sched(i)) for i in range(int(g["max_steps"]))])
     np.testing.assert_allclose(ours, g["lrs"], rtol=1e-6)
+
+
+def test_camera_rays_match_reference():
+    """generate_rays vs the EXECUTED reference Cameras.generate_rays
+    (cameras.py:320-958) across perspective / fisheye / equirectangular
+    cameras, with OpenCV distortion on one camera of each projective type."""
+    import jax.numpy as jnp
+    from presight_tpu.data.cameras import CameraParams, generate_rays
+
+    g = np.load(GOLD / "camera_rays.npz")
+    C = g["c2w"].shape[0]
+    cams = CameraParams(
+        c2w=jnp.asarray(g["c2w"]),
+        fx=jnp.full((C,), float(g["fx"])),
+        fy=jnp.full((C,), float(g["fy"])),
+        cx=jnp.full((C,), float(g["cx"])),
+        cy=jnp.full((C,), float(g["cy"])),
+        camera_type=jnp.asarray(g["ctype"]),
+        distortion_params=jnp.asarray(g["dist"]),
+    )
+    ray_index = jnp.asarray(
+        np.stack([g["cam"], g["rows"], g["cols"]], -1).astype(np.int32)
+    )
+    rb = generate_rays(cams, ray_index)
+    np.testing.assert_allclose(np.asarray(rb.origins), g["origins"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rb.directions), g["directions"],
+                               rtol=1e-4, atol=2e-5)
