@@ -12,9 +12,13 @@ Temporal (4D) support: pass ``prev_bev`` (+ ``prev2curr`` 2D ego motion) and
 set ``temporal=True`` — the previous frame's BEV volume is ego-aligned
 (bilinear warp per z-slice, BEVDet4D shift_feature semantics,
 bevdet.py BEVDet4D) and channel-concatenated before the BEV encoder.
-Scope note vs BEVStereo4D: the stereo cost volume refines the DEPTH
-distribution only (view_transformer.py:838+); the mono camera-aware
-DepthNet stands in for it here.
+
+Stereo (BEVStereo4D) support: set ``stereo=True`` and pass
+``prev_stereo_feat`` (+ ``k2s_sensor``) — an early backbone stage provides
+stereo features at cv_downsample resolution, and the temporal matching
+cost volume (view_transformer.py:585-664) feeds the depth head. The
+current frame's stereo features are returned so the caller can carry them
+to the next frame (bevdet_occ.py BEVStereo4DOCC extract_stereo_ref_feat).
 """
 
 from __future__ import annotations
@@ -49,14 +53,25 @@ class ImageEncoder(nn.Module):
     widths: Sequence[int] = (32, 64, 128, 256)
     neck_channels: int = 256
 
+    stereo_stage: int = 2
+    """Backbone stage whose output doubles as the BEVStereo matching
+    feature (input/2^stereo_stage resolution; the reference taps its
+    ResNet stem the same way, bevdet.py extract_stereo_ref_feat)."""
+
     @nn.compact
-    def __call__(self, imgs, train: bool = False):
+    def __call__(self, imgs, train: bool = False, return_stereo: bool = False):
         # imgs: (B*N, H, W, 3) NHWC in [0, 1].
         x = imgs
-        for w in self.widths:
+        stereo = None
+        for i, w in enumerate(self.widths):
             x = ConvStage(w, stride=2)(x, train)
             x = ConvStage(w, stride=1)(x, train)
-        return nn.Conv(self.neck_channels, (1, 1))(x)
+            if i + 1 == self.stereo_stage:
+                stereo = x
+        out = nn.Conv(self.neck_channels, (1, 1))(x)
+        if return_stereo:
+            return out, stereo
+        return out
 
 
 class BEVEncoder3D(nn.Module):
@@ -124,26 +139,42 @@ class BEVDetOcc(nn.Module):
     prior_in_channels: int = 68
     use_prior_only: bool = False
     temporal: bool = False
+    stereo: bool = False
 
     @nn.compact
     def __call__(self, imgs, sensor2ego, cam2imgs, post_rots, post_trans, bda,
                  prior_feats=None, prior_coords=None, prior_valid=None,
                  prev_bev=None, prev2curr=None,
+                 prev_stereo_feat=None, k2s_sensor=None,
                  train: bool = False):
         B, N, _, H, W = imgs.shape
-        x = ImageEncoder(self.img_widths, self.neck_channels)(
-            jnp.transpose(imgs.reshape(B * N, 3, H, W), (0, 2, 3, 1)), train
-        )
+        enc = ImageEncoder(self.img_widths, self.neck_channels)
+        imgs_nhwc = jnp.transpose(imgs.reshape(B * N, 3, H, W), (0, 2, 3, 1))
+        curr_stereo = None
+        if self.stereo:
+            x, curr_stereo = enc(imgs_nhwc, train, return_stereo=True)
+        else:
+            x = enc(imgs_nhwc, train)
         hf, wf = x.shape[1], x.shape[2]
         x = x.reshape(B, N, hf, wf, -1)
 
+        cv_downsample = 2 ** ImageEncoder.stereo_stage
         vt = LSSViewTransformer(
             grid_config=self.grid_config, input_size=self.input_size,
             downsample=self.downsample, in_channels=self.neck_channels,
             out_channels=self.view_out_channels, collapse_z=False,
+            stereo=self.stereo, cv_downsample=cv_downsample,
         )
+        stereo_metas = None
+        if self.stereo:
+            hs, ws = curr_stereo.shape[1], curr_stereo.shape[2]
+            stereo_metas = dict(
+                curr_feat=curr_stereo.reshape(B, N, hs, ws, -1),
+                prev_feat=prev_stereo_feat,
+                k2s_sensor=k2s_sensor,
+            )
         bev, depth = vt(x, sensor2ego, cam2imgs, post_rots, post_trans, bda,
-                        train)  # (B, C, Z, Y, X)
+                        stereo_metas, train)  # (B, C, Z, Y, X)
 
         if self.temporal:
             # BEVDet4D: align the previous frame's BEV volume to the current
@@ -192,6 +223,10 @@ class BEVDetOcc(nn.Module):
 
         bev = BEVEncoder3D(self.bev_widths, self.bev_out_channels)(bev, train)
         occ = OccHead(self.occ_out_dim, self.num_classes)(bev, train)
+        if self.stereo:
+            # Hand the current stereo features back for the next frame.
+            hs, ws = curr_stereo.shape[1], curr_stereo.shape[2]
+            return occ, depth, curr_stereo.reshape(B, N, hs, ws, -1)
         return occ, depth
 
 

@@ -2,15 +2,19 @@
 
 Reference spec: occupancy/mmdet3d/models/necks/view_transformer.py —
 LSSViewTransformer (:18-335: frustum creation, lidar-coordinate projection,
-bev_pool_v2 splat) and the camera-aware DepthNet of the BEVDepth/BEVStereo
-variants (:505-727, :737-844). The frustum and grid bookkeeping are static
-numpy; the projection chain reproduces get_lidar_coor (:143-175) exactly.
+bev_pool_v2 splat), the camera-aware DepthNet of the BEVDepth/BEVStereo
+variants (:505-727, :737-844), and the BEVStereo temporal cost volume
+(gen_grid :585-613 + calculate_cost_volumn :615-643): each frustum point of
+the current keyframe reprojects through k2s_sensor into the previous
+sweep's image, the previous stereo features are bilinearly warped there,
+and the grouped L1 mismatch over depth hypotheses (softmaxed over D) feeds
+the depth head as a matching prior. The frustum and grid bookkeeping are
+static numpy; the projection chains reproduce the reference exactly.
 
-Scope note: the BEVStereo variant's temporal stereo cost volume
-(view_transformer.py:838-844 + the stereo matching in depth_net) is a
-quality refinement of the *depth distribution* only; here the DepthNet is
-the camera-aware (mlp_input-conditioned SE) mono variant. The splat path —
-what the priors interact with — is semantics-complete.
+TPU design: grid_sample is expressed as four gathers + bilinear blend over
+a flattened pixel index (one gather per corner, batched over cameras via
+vmap) — no dynamic shapes, and the out-of-image mask folds into the blend
+weights instead of a padding mode.
 """
 
 from __future__ import annotations
@@ -73,18 +77,120 @@ def get_lidar_coor(
     return points
 
 
+def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling with zeros padding, align_corners=True.
+
+    img (BN, H, W, C); grid (BN, P, 2) normalized coords in [-1, 1]
+    ((-1,-1) = corner pixel center, matching F.grid_sample align_corners).
+    Returns (BN, P, C).
+    """
+    BN, H, W, C = img.shape
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def corner(xi, yi, w):
+        inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        flat = yi_c * W + xi_c  # (BN, P)
+        vals = jax.vmap(lambda im, ix: im[ix])(img.reshape(BN, H * W, C), flat)
+        return vals * (w * inside.astype(img.dtype))[..., None]
+
+    out = (
+        corner(x0, y0, (1 - wx) * (1 - wy))
+        + corner(x0 + 1, y0, wx * (1 - wy))
+        + corner(x0, y0 + 1, (1 - wx) * wy)
+        + corner(x0 + 1, y0 + 1, wx * wy)
+    )
+    return out
+
+
+def gen_stereo_grid(
+    frustum_cv: jnp.ndarray,  # (D, Hs, Ws, 3) at cv resolution (input px + depth)
+    k2s_sensor: jnp.ndarray,  # (B, N, 4, 4) key->sweep sensor transform
+    cam2imgs: jnp.ndarray,  # (B, N, 3, 3)
+    post_rots: jnp.ndarray,  # (B, N, 3, 3)
+    post_trans: jnp.ndarray,  # (B, N, 3)
+    input_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Reproject the keyframe frustum into the previous sweep's image
+    (view_transformer.py:585-613 gen_grid). Returns (B*N, D*Hs*Ws, 2)
+    normalized sample coords; invalid (behind-camera) points map to -2."""
+    B, N = k2s_sensor.shape[:2]
+    hi, wi = input_size
+    points = frustum_cv[None, None] - post_trans[:, :, None, None, None, :]
+    points = jnp.einsum(
+        "bnij,bndhwj->bndhwi", jnp.linalg.inv(post_rots), points
+    )
+    points = jnp.concatenate(
+        [points[..., :2] * points[..., 2:3], points[..., 2:3]], axis=-1
+    )
+    combine = jnp.einsum(
+        "bnij,bnjk->bnik", k2s_sensor[:, :, :3, :3], jnp.linalg.inv(cam2imgs)
+    )
+    points = jnp.einsum("bnij,bndhwj->bndhwi", combine, points)
+    points = points + k2s_sensor[:, :, None, None, None, :3, 3]
+    neg_mask = points[..., 2] < 1e-3
+    points = jnp.einsum("bnij,bndhwj->bndhwi", cam2imgs, points)
+    points = points[..., :2] / points[..., 2:3]
+    points = jnp.einsum(
+        "bnij,bndhwj->bndhwi", post_rots[:, :, :2, :2], points
+    ) + post_trans[:, :, None, None, None, :2]
+    px = points[..., 0] / (wi - 1.0) * 2.0 - 1.0
+    py = points[..., 1] / (hi - 1.0) * 2.0 - 1.0
+    px = jnp.where(neg_mask, -2.0, px)
+    py = jnp.where(neg_mask, -2.0, py)
+    grid = jnp.stack([px, py], axis=-1)  # (B, N, D, Hs, Ws, 2)
+    return grid.reshape(B * N, -1, 2)
+
+
+def stereo_cost_volume(
+    prev_feat: jnp.ndarray,  # (B*N, Hs, Ws, Cs) previous sweep stereo feats
+    curr_feat: jnp.ndarray,  # (B*N, Hs, Ws, Cs) keyframe stereo feats
+    grid: jnp.ndarray,  # (B*N, D*Hs*Ws, 2) from gen_stereo_grid
+    depth_bins: int,
+    bias: float = 5.0,
+    group_size: int = 4,
+) -> jnp.ndarray:
+    """Grouped L1 matching cost over depth hypotheses
+    (view_transformer.py:615-643 calculate_cost_volumn). Returns
+    (B*N, Hs, Ws, D), softmaxed over D (a depth probability prior)."""
+    BN, Hs, Ws, Cs = curr_feat.shape
+    D = depth_bins
+    warped = grid_sample_2d(prev_feat, grid).reshape(BN, D, Hs, Ws, Cs)
+    diff = jnp.abs(curr_feat[:, None] - warped)  # (BN, D, Hs, Ws, Cs)
+    # Reference sums |.| group-wise then accumulates — equal to a full
+    # channel sum (grouping there is a memory staging detail).
+    cost = jnp.sum(diff, axis=-1)  # (BN, D, Hs, Ws)
+    if bias != 0.0:
+        invalid = warped[..., 0] == 0.0  # zeros-padding marker, :639
+        cost = cost + bias * invalid.astype(cost.dtype)
+    cost = jax.nn.softmax(-cost, axis=1)
+    return jnp.transpose(cost, (0, 2, 3, 1))  # (BN, Hs, Ws, D)
+
+
 class DepthNet(nn.Module):
     """Camera-aware depth/context head (view_transformer.py:505-727 shape):
     conv trunk + an SE gate conditioned on flattened camera parameters
-    (mlp_input), emitting D depth logits + C context channels."""
+    (mlp_input), emitting D depth logits + C context channels. With
+    ``stereo``, the temporal matching cost volume is downsampled by
+    ``cv_stages`` stride-2 convs (:546-552 cost_volumn_net) and concatenated
+    into the depth branch (:665-675)."""
 
     mid_channels: int
     depth_bins: int
     out_channels: int
+    stereo: bool = False
+    cv_stages: int = 2  # log2(downsample / cv_downsample), reference 16/4
 
     @nn.compact
-    def __call__(self, x, mlp_input, train: bool = False):
-        # x: (B*N, Hf, Wf, Cin) NHWC; mlp_input: (B*N, M)
+    def __call__(self, x, mlp_input, cost_volume=None, train: bool = False):
+        # x: (B*N, Hf, Wf, Cin) NHWC; mlp_input: (B*N, M);
+        # cost_volume: (B*N, Hs, Ws, D) at cv resolution, or None.
         h = nn.Conv(self.mid_channels, (3, 3), padding="SAME")(x)
         h = nn.BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
@@ -92,6 +198,13 @@ class DepthNet(nn.Module):
         se = nn.relu(se)
         se = nn.Dense(self.mid_channels)(se)
         h = h * jax.nn.sigmoid(se)[:, None, None, :]
+        if self.stereo:
+            cv = cost_volume
+            for _ in range(self.cv_stages):
+                cv = nn.Conv(self.depth_bins, (3, 3), strides=(2, 2),
+                             padding="SAME")(cv)
+                cv = nn.BatchNorm(use_running_average=not train)(cv)
+            h = jnp.concatenate([h, cv], axis=-1)
         h = nn.Conv(self.mid_channels, (3, 3), padding="SAME")(h)
         h = nn.BatchNorm(use_running_average=not train)(h)
         h = nn.relu(h)
@@ -114,6 +227,11 @@ class LSSViewTransformer(nn.Module):
     out_channels: int = 64
     mid_channels: int = 64
     collapse_z: bool = True
+    stereo: bool = False
+    cv_downsample: int = 4
+    """BEVStereo (view_transformer.py:838-844): stereo features at
+    input_size/cv_downsample feed a temporal matching cost volume."""
+    cv_bias: float = 5.0
 
     @property
     def depth_bins(self) -> int:
@@ -130,7 +248,11 @@ class LSSViewTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, sensor2ego, cam2imgs, post_rots, post_trans, bda,
-                 train: bool = False):
+                 stereo_metas: Dict = None, train: bool = False):
+        """stereo_metas (when self.stereo): dict with 'curr_feat' /
+        'prev_feat' (B, N, Hs, Ws, Cs) stereo features at cv_downsample
+        resolution (prev_feat None on the first frame -> zero cost volume,
+        view_transformer.py:652-659) and 'k2s_sensor' (B, N, 4, 4)."""
         B, N, Hf, Wf, Cin = x.shape
         D = self.depth_bins
 
@@ -146,8 +268,32 @@ class LSSViewTransformer(nn.Module):
             axis=-1,
         ).reshape(B * N, -1)
 
-        feat = DepthNet(self.mid_channels, D, self.out_channels)(
-            x.reshape(B * N, Hf, Wf, Cin), mlp_input, train
+        cost_volume = None
+        if self.stereo:
+            hs = self.input_size[0] // self.cv_downsample
+            ws = self.input_size[1] // self.cv_downsample
+            curr = stereo_metas["curr_feat"].reshape(B * N, hs, ws, -1)
+            if stereo_metas.get("prev_feat") is None:
+                cost_volume = jnp.zeros((B * N, hs, ws, D), x.dtype)
+            else:
+                frustum_cv = jnp.asarray(create_frustum(
+                    self.grid_config["depth"], self.input_size,
+                    self.cv_downsample,
+                ))
+                grid = gen_stereo_grid(
+                    frustum_cv, stereo_metas["k2s_sensor"], cam2imgs,
+                    post_rots, post_trans, self.input_size,
+                )
+                prev = stereo_metas["prev_feat"].reshape(B * N, hs, ws, -1)
+                # The matching prior carries no gradient in the reference
+                # (torch.no_grad at :645-664).
+                cost_volume = jax.lax.stop_gradient(
+                    stereo_cost_volume(prev, curr, grid, D, self.cv_bias)
+                )
+
+        feat = DepthNet(self.mid_channels, D, self.out_channels,
+                        stereo=self.stereo)(
+            x.reshape(B * N, Hf, Wf, Cin), mlp_input, cost_volume, train
         )  # (B*N, Hf, Wf, D + C)
         depth_logits = feat[..., :D]
         tran_feat = feat[..., D:]

@@ -237,3 +237,82 @@ def test_bevdet_occ_temporal_two_frames():
     assert np.isfinite(np.asarray(occ2)).all()
     # history must influence the output
     assert float(np.abs(np.asarray(occ1) - np.asarray(occ2)).max()) > 0
+
+
+def test_grid_sample_matches_torch():
+    """grid_sample_2d vs torch F.grid_sample (zeros padding,
+    align_corners=True) — the exact sampling the stereo cost volume needs."""
+    import torch
+    import torch.nn.functional as F
+    from presight_tpu.occupancy.view_transformer import grid_sample_2d
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(3, 7, 9, 4).astype(np.float32)  # (BN, H, W, C)
+    grid = (rng.rand(3, 50, 2).astype(np.float32) * 2.8 - 1.4)  # incl. OOB
+
+    ours = np.asarray(grid_sample_2d(jnp.asarray(img), jnp.asarray(grid)))
+    ref = F.grid_sample(
+        torch.tensor(img).permute(0, 3, 1, 2),
+        torch.tensor(grid)[:, :, None, :],  # (BN, P, 1, 2)
+        align_corners=True, padding_mode="zeros", mode="bilinear",
+    )[:, :, :, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_stereo_cost_volume_identity_prefers_true_depth():
+    """With identity key->sweep motion and a textured image, the matching
+    cost at every depth hypothesis samples the SAME pixel (reprojection is
+    the identity), so the warped feature equals the current feature and the
+    softmaxed cost volume is uniform over D — the degenerate-baseline case
+    the math must satisfy exactly."""
+    from presight_tpu.occupancy.view_transformer import (
+        create_frustum, gen_stereo_grid, stereo_cost_volume,
+    )
+
+    rng = np.random.RandomState(1)
+    B, N = 1, 2
+    input_size = (16, 32)
+    cv_down = 4
+    hs, ws = input_size[0] // cv_down, input_size[1] // cv_down
+    depth_cfg = (1.0, 5.0, 0.5)
+    D = int(round((5.0 - 1.0) / 0.5))
+    frustum = jnp.asarray(create_frustum(depth_cfg, input_size, cv_down))
+    geo = _geometry(B, N, seed=3)
+    _, intrins, post_rots, post_trans, _ = geo
+    k2s = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)))
+    grid = gen_stereo_grid(frustum, k2s, intrins, post_rots, post_trans,
+                           input_size)
+    feat = jnp.asarray(rng.randn(B * N, hs, ws, 8).astype(np.float32))
+    cv = stereo_cost_volume(feat, feat, grid, D, bias=0.0)
+    assert cv.shape == (B * N, hs, ws, D)
+    # identical features + identity motion -> zero cost at all hypotheses
+    # wherever the reprojection lands in-image -> uniform softmax there.
+    mid = np.asarray(cv[:, 1:-1, 1:-1, :])
+    np.testing.assert_allclose(mid, 1.0 / D, atol=1e-4)
+
+
+def test_bevstereo_two_frames():
+    """BEVStereo4D: the temporal stereo cost volume feeds the depth head;
+    frame 1 runs with a zero cost volume (no history), frame 2 consumes
+    frame 1's stereo features (bevdet_occ.py BEVStereo4DOCC)."""
+    model = BEVDetOcc(
+        grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
+        view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
+        bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
+        num_classes=18, stereo=True,
+    )
+    rng = np.random.RandomState(7)
+    imgs = jnp.asarray(rng.rand(1, 2, 3, *INPUT_SIZE).astype(np.float32))
+    geo = _geometry(1, 2)
+    k2s = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (1, 2, 1, 1)))
+    params = model.init(jax.random.PRNGKey(0), imgs, *geo, k2s_sensor=k2s)
+    (occ1, depth1, stereo1), _ = model.apply(
+        params, imgs, *geo, k2s_sensor=k2s, mutable=["batch_stats"])
+    imgs2 = jnp.asarray(rng.rand(1, 2, 3, *INPUT_SIZE).astype(np.float32))
+    (occ2, depth2, _), _ = model.apply(
+        params, imgs2, *geo, prev_stereo_feat=stereo1, k2s_sensor=k2s,
+        mutable=["batch_stats"])
+    assert occ1.shape == occ2.shape == (1, 20, 20, 8, 18)
+    assert stereo1.shape[:2] == (1, 2) and stereo1.shape[2] == INPUT_SIZE[0] // 4
+    assert np.isfinite(np.asarray(occ2)).all()
+    assert np.isfinite(np.asarray(depth2)).all()
