@@ -53,9 +53,10 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
             log2_hashmap_size=15, num_levels=5,
             features_per_level=8,
             proposal_net_args_list=(
-                dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
+                # 'prop-lean' (QUALITY.md): 2 levels x 4 features.
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
                      base_res=16, max_res=1024),
-                dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
                      base_res=16, max_res=4096),
             ),
             **common,

@@ -178,10 +178,12 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         num_levels=5,
         features_per_level=8,
         proposal_net_args_list=(
-            # 2^16 rows x 16 floats = 4.2 MB per level slab (proposals).
-            dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
+            # 'prop-lean' (QUALITY.md): half the levels at double features —
+            # same encoding width and params, half the proposal gathers.
+            # 2^16 rows x 32 floats = 8.4 MB per level slab.
+            dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
                  base_res=16, max_res=1024),
-            dict(features_per_level=2, log2_hashmap_size=16, num_levels=4,
+            dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
                  base_res=16, max_res=4096),
         ),
     )

@@ -57,6 +57,25 @@ def variant_model(base, storage: str):
                 for a in base.proposal_net_args_list
             ),
         )
+    if storage == "prop-lean":
+        # shared-rebalanced + proposal encodings halved again (2 levels x
+        # 4 features at the demo scale): same encoding width and parameter
+        # count, HALF the proposal table gathers/scatters — proposal rounds
+        # touch 2/3 of all samples, so this is the hottest row-count knob.
+        # Proposal nets only need coarse density, so the multiresolution
+        # ladder matters less than for the main field; this study gates it.
+        return dataclasses.replace(
+            base, hash_storage="shared", prop_shared_mlp=True,
+            num_levels=base.num_levels // 2,
+            features_per_level=base.features_per_level * 2,
+            log2_hashmap_size=base.log2_hashmap_size - 2,
+            proposal_net_args_list=tuple(
+                dict(a, log2_hashmap_size=a["log2_hashmap_size"] - 2,
+                     num_levels=max(2, (a["num_levels"] - 1) // 2),
+                     features_per_level=a["features_per_level"] * 4)
+                for a in base.proposal_net_args_list
+            ),
+        )
     raise ValueError(storage)
 
 
