@@ -1,0 +1,157 @@
+"""Stage-3 occupancy training CLI (the TPU-native `tools/train.py` analog).
+
+Reference spec: occupancy/tools/train.py + tools/dist_train.sh drive an mmcv
+EpochBasedRunner over BEVStereo4DOCC with AdamW(lr=1e-4, wd=1e-2), grad
+clipping (max_norm=5) and the MEGVII EMA hook
+(bevdet-occ-r50d-8x4-24e_wcamprior_randomdrop.py:269-286). Here the whole
+iteration — forward, masked CE, AdamW update, EMA — is one jitted step.
+
+Real nuScenes training data cannot ship in this environment, so the CLI
+trains on either (a) a seeded random toy scene (--toy, the default; the
+same shape contract the reference's own random-tensor forward tests use) or
+(b) a directory of .npz samples with keys imgs/sensor2ego/cam2imgs/
+post_rots/post_trans/bda/voxel_semantics[/mask_camera] (--data-dir).
+
+Usage:
+  python -m presight_tpu.scripts.train_occ --iters 50 --out outputs/occ
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+GRID = {
+    "x": (-8.0, 8.0, 0.8),
+    "y": (-8.0, 8.0, 0.8),
+    "z": (-1.0, 3.0, 0.5),
+    "depth": (1.0, 9.0, 0.5),
+}
+INPUT_SIZE = (32, 64)
+
+
+def toy_batch(seed: int, B: int = 1, N: int = 2):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    s2e = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
+    s2e[..., :3, 3] = rng.randn(B, N, 3) * 0.5
+    intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    intrins[..., 0, 0] = intrins[..., 1, 1] = 40.0
+    intrins[..., 0, 2] = 32.0
+    intrins[..., 1, 2] = 16.0
+    post_rots = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
+    post_trans = np.zeros((B, N, 3), np.float32)
+    bda = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    return dict(
+        imgs=jnp.asarray(rng.rand(B, N, 3, *INPUT_SIZE).astype(np.float32)),
+        sensor2ego=jnp.asarray(s2e),
+        cam2imgs=jnp.asarray(intrins),
+        post_rots=jnp.asarray(post_rots),
+        post_trans=jnp.asarray(post_trans),
+        bda=jnp.asarray(bda),
+        voxel_semantics=jnp.asarray(rng.randint(0, 18, (B, 20, 20, 8))),
+    )
+
+
+def load_batches(data_dir: Path):
+    import jax.numpy as jnp
+
+    batches = []
+    for f in sorted(data_dir.glob("*.npz")):
+        d = np.load(f)
+        batches.append({k: jnp.asarray(d[k]) for k in d.files})
+    if not batches:
+        raise SystemExit(f"no .npz samples under {data_dir}")
+    return batches
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight-decay", type=float, default=1e-2)
+    parser.add_argument("--grad-clip", type=float, default=5.0)
+    parser.add_argument("--ema-decay", type=float, default=0.9999)
+    parser.add_argument("--data-dir", type=Path, default=None)
+    parser.add_argument("--out", type=Path, default=Path("outputs/occ"))
+    parser.add_argument("--temporal", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..occupancy import BEVDetOcc, occ_loss
+    from ..utils.ema import ema_init, ema_update
+
+    model = BEVDetOcc(
+        grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
+        view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
+        bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
+        num_classes=18, temporal=args.temporal,
+    )
+
+    batches = (load_batches(args.data_dir) if args.data_dir
+               else [toy_batch(args.seed + i) for i in range(4)])
+    b0 = batches[0]
+    model_args = (b0["imgs"], b0["sensor2ego"], b0["cam2imgs"],
+                  b0["post_rots"], b0["post_trans"], b0["bda"])
+    variables = model.init(jax.random.PRNGKey(args.seed), *model_args)
+
+    # AdamW + global-norm clipping, the reference's optimizer_config.
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip),
+        optax.adamw(args.lr, weight_decay=args.weight_decay),
+    )
+    opt_state = tx.init(variables)
+    ema = ema_init(variables)
+
+    @jax.jit
+    def step(variables, opt_state, ema, batch):
+        def loss_fn(v):
+            (occ, _depth), _mut = model.apply(
+                v, batch["imgs"], batch["sensor2ego"], batch["cam2imgs"],
+                batch["post_rots"], batch["post_trans"], batch["bda"],
+                train=True, mutable=["batch_stats"],
+            )
+            return occ_loss(occ, batch["voxel_semantics"],
+                            batch.get("mask_camera"))
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        ema = ema_update(ema, variables, args.ema_decay)
+        return variables, opt_state, ema, loss
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    loss = float("nan")
+    for i in range(args.iters):
+        variables, opt_state, ema, loss = step(
+            variables, opt_state, ema, batches[i % len(batches)])
+        if i % 10 == 0 or i + 1 == args.iters:
+            print(f"iter {i:5d} | loss={float(loss):.4f} | "
+                  f"{(time.perf_counter() - t0):.1f}s", flush=True)
+
+    ckpt = {
+        "params": jax.device_get(variables),
+        "ema": jax.device_get(ema.params),
+        "ema_updates": int(ema.updates),
+        "iters": args.iters,
+    }
+    path = args.out / f"occ-step-{args.iters:09d}.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(ckpt, f)
+    print(f"saved {path} (final loss {float(loss):.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

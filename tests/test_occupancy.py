@@ -316,3 +316,42 @@ def test_bevstereo_two_frames():
     assert stereo1.shape[:2] == (1, 2) and stereo1.shape[2] == INPUT_SIZE[0] // 4
     assert np.isfinite(np.asarray(occ2)).all()
     assert np.isfinite(np.asarray(depth2)).all()
+
+
+def test_ema_matches_reference_recurrence():
+    """utils/ema.py vs the MEGVII ModelEMA recurrence (ema.py:44-59):
+    d(t) = decay*(1-exp(-t/2000)), ema = d*ema + (1-d)*params, t from 1."""
+    import math
+    from presight_tpu.utils.ema import ema_init, ema_update
+
+    rng = np.random.RandomState(0)
+    p0 = {"w": rng.randn(4, 3).astype(np.float32),
+          "b": rng.randn(3).astype(np.float32)}
+    state = ema_init(p0)
+    ref = {k: v.copy() for k, v in p0.items()}
+    decay, ramp = 0.9999, 2000.0
+    for t in range(1, 6):
+        params = {k: v + rng.randn(*v.shape).astype(np.float32) * 0.1
+                  for k, v in p0.items()}
+        state = ema_update(state, params, decay, ramp)
+        d = decay * (1.0 - math.exp(-t / ramp))
+        ref = {k: ref[k] * d + (1.0 - d) * params[k] for k in ref}
+    assert int(state.updates) == 5
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(state.params[k]), ref[k],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_train_occ_cli(tmp_path):
+    """The stage-3 training CLI runs end-to-end (toy scene) and writes a
+    checkpoint with model + EMA states."""
+    import pickle
+    from presight_tpu.scripts.train_occ import main
+
+    assert main(["--iters", "3", "--out", str(tmp_path)]) == 0
+    ckpt = tmp_path / "occ-step-000000003.pkl"
+    assert ckpt.exists()
+    with open(ckpt, "rb") as f:
+        d = pickle.load(f)
+    assert d["ema_updates"] == 3
+    assert "params" in d and "ema" in d
