@@ -379,17 +379,18 @@ def forward(
             None if app is None else app[ray_of_slot], routing,
         )
         density = unpad_rows(density_p, routing).reshape(num_rays, num_samples)
-        rgb_samples = unpad_rows(rgb_p, routing).reshape(num_rays, num_samples, 3)
         weights = get_weights(deltas, density)
-        rgb = render_rgb(rgb_samples, weights)
+        # Render in padded space: the per-ray weighted sum is a segment-sum
+        # (scatter-add into an (R, C) buffer, well inside XLA's fast
+        # regime) — skips the (R*S, C) unpad gathers and the (R, S, C)
+        # materializations for both heads. Padding slots carry zero weight.
+        w_slot = pad_rows(weights.reshape(-1), routing)
+        rgb = jax.ops.segment_sum(
+            rgb_p * w_slot[:, None], ray_of_slot, num_segments=num_rays
+        )
         semantics = None
         if fcfg.use_semantics:
             sem_feats_p = semantics_padded(field_params, fcfg, sem_p, routing)
-            # Render in padded space: the per-ray weighted sum is a
-            # segment-sum (scatter-add into an (R, sem) buffer, well inside
-            # XLA's fast regime) — skips the (R*S, sem) unpad gather and the
-            # (R, S, sem) materialization. Padding slots carry zero weight.
-            w_slot = pad_rows(weights.reshape(-1), routing)
             semantics = jax.ops.segment_sum(
                 sem_feats_p * w_slot[:, None], ray_of_slot,
                 num_segments=num_rays,
