@@ -24,18 +24,14 @@ import numpy as np
 from ..fields.ingp_field import (
     INGPFieldConfig,
     density_and_embedding_padded,
-    density_and_embedding_sorted,
     init_ingp_field,
     rgb_padded,
-    rgb_sorted,
     semantics_padded,
-    semantics_sorted,
 )
 from ..fields.prop_field import PropFieldConfig, init_prop_field, prop_density
 from ..fields.router import (
     build_routing,
     pad_rows,
-    route_positions,
     route_positions_padded,
     unpad_rows,
 )
@@ -47,8 +43,6 @@ from ..ops.renderers import (
     render_accumulation,
     render_depth_expected,
     render_depth_median,
-    render_rgb,
-    render_semantics,
 )
 from ..ops.samplers import SpacingSpec, proposal_sample
 from ..ops.stepfun import distortion_loss, interlevel_loss, z_anti_aliasing_interlevel_loss
@@ -480,12 +474,7 @@ def forward_depth(
     )
     num_rays, num_samples = ray_samples.starts.shape
     positions = ray_samples.positions().reshape(-1, 3)
-    routing = route_positions(positions, params["field"]["centroids"])
-    density_s, _, _ = density_and_embedding_sorted(
-        params["field"], config.field,
-        sort_rows(positions, routing.order, routing.inverse), routing
-    )
-    density = unsort_rows(density_s, routing.order, routing.inverse).reshape(
+    density = _field_density_flat(params, config, positions).reshape(
         num_rays, num_samples
     )
     weights = get_weights(ray_samples.deltas(), density)
@@ -495,17 +484,33 @@ def forward_depth(
     }
 
 
+def _field_heads_padded(params: Dict, config: NerfactoNuscMSConfig,
+                        flat_positions: jnp.ndarray):
+    """(density_p, geo_p, sem_p, routing) on the fused sort+pad layout —
+    the shared entry for the inference/extraction paths."""
+    from ..ops.mlp import GROUP_BLOCK
+
+    routing = route_positions_padded(
+        flat_positions, params["field"]["centroids"], GROUP_BLOCK
+    )
+    pos_p = pad_rows(flat_positions, routing)
+    density_p, geo_p, sem_p = density_and_embedding_padded(
+        params["field"], config.field, pos_p, routing
+    )
+    return density_p, geo_p, sem_p, routing
+
+
+def _field_density_flat(params: Dict, config: NerfactoNuscMSConfig,
+                        flat: jnp.ndarray) -> jnp.ndarray:
+    density_p, _, _, routing = _field_heads_padded(params, config, flat)
+    return unpad_rows(density_p, routing)
+
+
 def field_density(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.ndarray) -> jnp.ndarray:
     """Main-field density at world positions (extraction path,
     extract_priors.py:130-137)."""
     shape = positions.shape[:-1]
-    flat = positions.reshape(-1, 3)
-    routing = route_positions(flat, params["field"]["centroids"])
-    density_s, _, _ = density_and_embedding_sorted(
-        params["field"], config.field,
-        sort_rows(flat, routing.order, routing.inverse), routing
-    )
-    return unsort_rows(density_s, routing.order, routing.inverse).reshape(shape)
+    return _field_density_flat(params, config, positions.reshape(-1, 3)).reshape(shape)
 
 
 def field_semantics(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.ndarray) -> jnp.ndarray:
@@ -513,13 +518,9 @@ def field_semantics(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.n
     (ingp_field.py:253-266 semantic_fn via the MS router)."""
     shape = positions.shape[:-1]
     flat = positions.reshape(-1, 3)
-    routing = route_positions(flat, params["field"]["centroids"])
-    _, _, sem_s = density_and_embedding_sorted(
-        params["field"], config.field,
-        sort_rows(flat, routing.order, routing.inverse), routing
-    )
-    sem = semantics_sorted(params["field"], config.field, sem_s, routing)
-    return unsort_rows(sem, routing.order, routing.inverse).reshape(*shape, -1)
+    _, _, sem_p, routing = _field_heads_padded(params, config, flat)
+    sem = semantics_padded(params["field"], config.field, sem_p, routing)
+    return unpad_rows(sem, routing).reshape(*shape, -1)
 
 
 # ---------------------------------------------------------------------------
