@@ -1,0 +1,176 @@
+"""Stage-3 online-mapping training CLI (the `online-mapping/tools/train.py`
+analog).
+
+Reference spec: online-mapping/tools/train.py + dist_train.sh drive an mmcv
+IterBasedRunner over StreamMapNet with AdamW and a streaming two-frame clip
+sampler (smn_priorsplit_480_100x50_24e.py). Here one jitted step trains the
+TPU-native StreamMapNet (`presight_tpu/mapping`): two-frame streaming
+forward (ConvGRU BEV memory warped by ego motion, query propagation),
+Hungarian-matched classification + point-set L1 losses, AdamW update.
+
+Real nuScenes clips cannot ship in this environment, so the CLI trains on a
+seeded random toy clip by default (the same shape contract the mapping
+tests use), or on a directory of .npz samples with keys imgs/lidar2img/
+gt_lines/gt_labels[/prev2curr] (--data-dir).
+
+Usage:
+  python -m presight_tpu.scripts.train_map --iters 50 --out outputs/map
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+IMG_SIZE = (32, 64)
+N_CAM = 2
+
+
+def toy_clip(seed: int, frames: int = 2, num_gt: int = 4, num_points: int = 20):
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(seed)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (N_CAM, 1, 1))
+    l2i[:, 0, 0] = 8.0
+    l2i[:, 1, 1] = 8.0
+    l2i[:, 0, 3] = IMG_SIZE[1] / 2
+    l2i[:, 1, 3] = IMG_SIZE[0] / 2
+    clip = []
+    for _ in range(frames):
+        clip.append(dict(
+            imgs=jnp.asarray(rng.rand(N_CAM, 3, *IMG_SIZE).astype(np.float32)),
+            lidar2img=jnp.asarray(l2i),
+            gt_lines=jnp.asarray(
+                rng.rand(num_gt, num_points, 2).astype(np.float32)),
+            gt_labels=jnp.asarray(rng.randint(0, 3, (num_gt,))),
+            prev2curr=jnp.asarray(np.eye(3, dtype=np.float32)),
+        ))
+    return clip
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--weight-decay", type=float, default=1e-2)
+    parser.add_argument("--grad-clip", type=float, default=35.0)
+    parser.add_argument("--data-dir", type=Path, default=None)
+    parser.add_argument("--out", type=Path, default=Path("outputs/map"))
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..mapping import StreamMapNet, map_losses
+
+    model = StreamMapNet(img_size=IMG_SIZE)
+
+    if args.data_dir is not None:
+        clips = []
+        for f in sorted(args.data_dir.glob("*.npz")):
+            d = np.load(f)
+            frame = {k: jnp.asarray(d[k]) for k in d.files}
+            frame.setdefault("prev2curr", jnp.eye(3))
+            clips.append([frame])
+        if not clips:
+            raise SystemExit(f"no .npz samples under {args.data_dir}")
+    else:
+        clips = [toy_clip(args.seed + i) for i in range(4)]
+
+    f0 = clips[0][0]
+    # init with the streaming branch active so the ConvGRU / query-
+    # propagation params exist (frame 2+ uses them).
+    bev_hw = model.bev_hw
+    variables = model.init(
+        jax.random.PRNGKey(args.seed), f0["imgs"], f0["lidar2img"],
+        prev_bev=jnp.zeros((model.embed_dim, *bev_hw)),
+        prev2curr=jnp.eye(3),
+        prev_queries=jnp.zeros((model.num_queries, model.embed_dim)))
+
+    # AdamW + global-norm clip 35, the reference smn config's
+    # optimizer/optimizer_config.
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.grad_clip),
+        optax.adamw(args.lr, weight_decay=args.weight_decay),
+    )
+    opt_state = tx.init(variables)
+
+    from ..mapping.map_head import greedy_match
+
+    fwd = jax.jit(lambda v, imgs, l2i, pb, p2c, pq: model.apply(
+        v, imgs, l2i, prev_bev=pb, prev2curr=p2c, prev_queries=pq,
+        train=True, mutable=["batch_stats"])[0])
+
+    @jax.jit
+    def grad_step(variables, opt_state, clip, assignments):
+        """Two-frame streaming step: frame 0 builds the BEV memory, frame 1
+        trains through the warp + query propagation (StreamMapNet.py:160-219
+        semantics with a jit-static clip length). The Hungarian assignment
+        is host-side and detached, as in the reference's matcher."""
+
+        def loss_fn(v):
+            total = 0.0
+            prev_bev = None
+            prev_queries = None
+            losses = {}
+            for frame, assignment in zip(clip, assignments):
+                out, _mut = model.apply(
+                    v, frame["imgs"], frame["lidar2img"],
+                    prev_bev=prev_bev, prev2curr=frame["prev2curr"],
+                    prev_queries=prev_queries, train=True,
+                    mutable=["batch_stats"],
+                )
+                losses = map_losses(out, frame["gt_lines"],
+                                    frame["gt_labels"], assignment)
+                total = total + sum(losses.values())
+                prev_bev = out["bev"]
+                prev_queries = out["queries"]
+            return total / len(clip), losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, loss, losses
+
+    def step(variables, opt_state, clip):
+        # Phase 1 (host): current predictions -> Hungarian assignment.
+        assignments = []
+        prev_bev = None
+        prev_queries = None
+        for frame in clip:
+            out = fwd(variables, frame["imgs"], frame["lidar2img"],
+                      prev_bev, frame["prev2curr"], prev_queries)
+            assignments.append(jnp.asarray(greedy_match(
+                np.asarray(out["lines"]), np.asarray(frame["gt_lines"]))))
+            prev_bev = out["bev"]
+            prev_queries = out["queries"]
+        # Phase 2 (device): matched losses + AdamW update.
+        return grad_step(variables, opt_state, clip, assignments)
+
+    args.out.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    loss = float("nan")
+    for i in range(args.iters):
+        variables, opt_state, loss, losses = step(
+            variables, opt_state, clips[i % len(clips)])
+        if i % 10 == 0 or i + 1 == args.iters:
+            ls = " ".join(f"{k}={float(v):.4f}" for k, v in sorted(losses.items()))
+            print(f"iter {i:5d} | loss={float(loss):.4f} | {ls} | "
+                  f"{(time.perf_counter() - t0):.1f}s", flush=True)
+
+    ckpt = {"params": jax.device_get(variables), "iters": args.iters}
+    path = args.out / f"map-step-{args.iters:09d}.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(ckpt, f)
+    print(f"saved {path} (final loss {float(loss):.4f})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

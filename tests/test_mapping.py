@@ -208,3 +208,17 @@ def test_raster_mapper_forward_and_loss(smn_inputs):
                      .astype(np.float32))
     loss = raster_loss(logits, gt)
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_train_map_cli(tmp_path):
+    """The stage-3 mapping training CLI runs end-to-end (toy clip, two-frame
+    streaming + host Hungarian matching) and writes a checkpoint."""
+    import pickle
+    from presight_tpu.scripts.train_map import main
+
+    assert main(["--iters", "2", "--out", str(tmp_path)]) == 0
+    ckpt = tmp_path / "map-step-000000002.pkl"
+    assert ckpt.exists()
+    with open(ckpt, "rb") as f:
+        d = pickle.load(f)
+    assert "params" in d
