@@ -140,6 +140,9 @@ class BEVDetOcc(nn.Module):
     use_prior_only: bool = False
     temporal: bool = False
     stereo: bool = False
+    stereo_stage: int = 2
+    """Backbone stage tapped for BEVStereo matching features
+    (cv_downsample = 2**stereo_stage)."""
 
     @nn.compact
     def __call__(self, imgs, sensor2ego, cam2imgs, post_rots, post_trans, bda,
@@ -148,7 +151,8 @@ class BEVDetOcc(nn.Module):
                  prev_stereo_feat=None, k2s_sensor=None,
                  train: bool = False):
         B, N, _, H, W = imgs.shape
-        enc = ImageEncoder(self.img_widths, self.neck_channels)
+        enc = ImageEncoder(self.img_widths, self.neck_channels,
+                           stereo_stage=self.stereo_stage)
         imgs_nhwc = jnp.transpose(imgs.reshape(B * N, 3, H, W), (0, 2, 3, 1))
         curr_stereo = None
         if self.stereo:
@@ -158,7 +162,7 @@ class BEVDetOcc(nn.Module):
         hf, wf = x.shape[1], x.shape[2]
         x = x.reshape(B, N, hf, wf, -1)
 
-        cv_downsample = 2 ** ImageEncoder.stereo_stage
+        cv_downsample = 2 ** self.stereo_stage
         vt = LSSViewTransformer(
             grid_config=self.grid_config, input_size=self.input_size,
             downsample=self.downsample, in_channels=self.neck_channels,

@@ -57,6 +57,23 @@ def variant_model(base, storage: str):
                 for a in base.proposal_net_args_list
             ),
         )
+    if storage == "main-lean":
+        # prop-lean + the MAIN encoding rebalanced once more: levels x 2/3,
+        # features x 1.5 (demo: 2 levels x 6) — same encoding width, same
+        # parameter count, ~1/3 fewer main-table rows touched per sample.
+        # Gated here because the main field is the quality-sensitive one.
+        return dataclasses.replace(
+            base, hash_storage="shared", prop_shared_mlp=True,
+            num_levels=base.num_levels // 3,
+            features_per_level=base.features_per_level * 3,
+            log2_hashmap_size=base.log2_hashmap_size - 2,
+            proposal_net_args_list=tuple(
+                dict(a, log2_hashmap_size=a["log2_hashmap_size"] - 2,
+                     num_levels=max(2, (a["num_levels"] - 1) // 2),
+                     features_per_level=a["features_per_level"] * 4)
+                for a in base.proposal_net_args_list
+            ),
+        )
     if storage == "prop-lean":
         # shared-rebalanced + proposal encodings halved again (2 levels x
         # 4 features at the demo scale): same encoding width and parameter
