@@ -13,11 +13,11 @@ from .conv_gru import ConvGRU, warp_bev
 from .map_head import MapDetectorHead, map_losses
 from .stream_mapnet import RasterMapper, StreamMapNet, raster_loss
 from .vector_eval import (VectorEvaluate, average_precision, chamfer_distance,
-                          instance_match, interp_fixed_num)
+                          instance_match, interp_fixed_num, raster_evaluate)
 
 __all__ = [
     "BEVEncoder", "ConvGRU", "warp_bev", "MapDetectorHead", "map_losses",
     "StreamMapNet", "RasterMapper", "raster_loss", "VectorEvaluate",
     "average_precision", "chamfer_distance", "instance_match",
-    "interp_fixed_num",
+    "interp_fixed_num", "raster_evaluate",
 ]

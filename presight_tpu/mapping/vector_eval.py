@@ -169,3 +169,29 @@ class VectorEvaluate:
             mAP += out[f"{name}_AP"]
         out["mAP"] = mAP / len(self.classes)
         return out
+
+
+def raster_evaluate(preds: Dict[str, np.ndarray], gts: Dict[str, np.ndarray],
+                    class_names: Sequence[str]) -> Dict[str, float]:
+    """Dataset-level per-class IoU over rasterized map masks
+    (raster_eval.py:42-102 RasterEvaluate.evaluate): predictions align to
+    ground truth by sample token; missing tokens count as all-false masks;
+    IoU = |pred & gt| / (|pred | gt| + 1e-7) pooled over the whole split,
+    mIoU = mean over classes.
+    """
+    out: Dict[str, float] = {}
+    total = 0.0
+    first_gt = next(iter(gts.values()))
+    for i, name in enumerate(class_names):
+        inter = 0.0
+        union = 0.0
+        for token, gt in gts.items():
+            g = np.asarray(gt[i], bool)
+            p = (np.asarray(preds[token][i], bool) if token in preds
+                 else np.zeros_like(np.asarray(first_gt[i], bool)))
+            inter += float(np.sum(p & g))
+            union += float(np.sum(p | g))
+        out[name] = inter / (union + 1e-7)
+        total += out[name]
+    out["mIoU"] = total / len(class_names)
+    return out

@@ -222,3 +222,22 @@ def test_train_map_cli(tmp_path):
     with open(ckpt, "rb") as f:
         d = pickle.load(f)
     assert "params" in d
+
+
+def test_raster_evaluate_iou():
+    """raster_evaluate vs hand-computable IoUs, incl. a missing-prediction
+    token that must count as an all-false mask (raster_eval.py:65-71)."""
+    from presight_tpu.mapping.vector_eval import raster_evaluate
+
+    g1 = np.zeros((2, 4, 4), bool)
+    g1[0, :2] = True          # class 0: 8 px
+    g2 = np.zeros((2, 4, 4), bool)
+    g2[1, :, :2] = True       # class 1: 8 px
+    p1 = np.zeros((2, 4, 4), bool)
+    p1[0, :1] = True          # covers 4 of class-0's 8 px
+    gts = {"a": g1, "b": g2}
+    preds = {"a": p1}          # token "b" missing -> zeros
+    out = raster_evaluate(preds, gts, ["drivable", "divider"])
+    assert abs(out["drivable"] - 4 / 8) < 1e-6
+    assert out["divider"] == 0.0
+    assert abs(out["mIoU"] - 0.25) < 1e-6
