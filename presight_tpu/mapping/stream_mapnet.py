@@ -44,6 +44,9 @@ class StreamMapNet(nn.Module):
     prior_pc_range: Optional[Sequence[float]] = None
     prior_voxel_size: Optional[Sequence[float]] = None
     prior_voxel_channels: int = 68
+    use_prior_only: bool = False
+    """Prior-only ablation (StreamMapNet_prioronly.py): zero the camera
+    BEV before fusion so the head sees priors alone."""
 
     @nn.compact
     def __call__(self, imgs, lidar2img, prev_bev=None, prev2curr=None,
@@ -62,6 +65,8 @@ class StreamMapNet(nn.Module):
         if prior_feats is not None:
             # Prior injection on the 2D BEV features
             # (StreamMapNet.py:192-197; PriorFusion2D contract).
+            if self.use_prior_only:
+                bev = jnp.zeros_like(bev)
             fused = PriorFusion2D(
                 prior_pc_range=self.prior_pc_range,
                 prior_voxel_size=self.prior_voxel_size,
@@ -94,6 +99,9 @@ class RasterMapper(nn.Module):
     prior_pc_range: Optional[Sequence[float]] = None
     prior_voxel_size: Optional[Sequence[float]] = None
     prior_voxel_channels: int = 68
+    use_prior_only: bool = False
+    """Prior-only ablation (StreamMapNet_prioronly.py): zero the camera
+    BEV before fusion so the head sees priors alone."""
 
     @nn.compact
     def __call__(self, imgs, lidar2img, prior_feats=None, prior_coords=None,

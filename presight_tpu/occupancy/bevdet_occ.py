@@ -137,6 +137,11 @@ class BEVDetOcc(nn.Module):
     prior_pc_range: Optional[Sequence[float]] = None
     prior_voxel_size: Optional[Sequence[float]] = None
     prior_in_channels: int = 68
+    prior_fusion: str = "voxel"
+    """'voxel' (PriorFusion3D_voxel, the shipped configs) or 'crossattn'
+    (PriorFusion3D_crossattn, the windowed cross-attention ablation) —
+    the reference's prior_fuse_cfg fusion_module_cfg selector
+    (bevdet_occ.py:22,51-53)."""
     use_prior_only: bool = False
     temporal: bool = False
     stereo: bool = False
@@ -214,14 +219,28 @@ class BEVDetOcc(nn.Module):
             v = jnp.transpose(bev, (0, 1, 3, 4, 2))  # (B, C, Y=h, X=w, Z)
             if self.use_prior_only:
                 v = jnp.zeros_like(v)
-            fusion = PriorFusion3DVoxel(
-                prior_pc_range=self.prior_pc_range,
-                prior_voxel_size=self.prior_voxel_size,
-                bev_hidden_channels=self.neck_channels,
-                prior_in_channels=self.prior_in_channels,
-                out_num_z=v.shape[-1],
-                out_channels=v.shape[1],
-            )
+            if self.prior_fusion == "crossattn":
+                from ..models.window_attention import PriorFusion3DCrossAttn
+
+                fusion = PriorFusion3DCrossAttn(
+                    prior_pc_range=self.prior_pc_range,
+                    prior_voxel_size=self.prior_voxel_size,
+                    bev_hidden_channels=self.neck_channels,
+                    prior_in_channels=self.prior_in_channels,
+                    out_num_z=v.shape[-1],
+                    out_channels=v.shape[1],
+                    bev_h=v.shape[2], bev_w=v.shape[3],
+                    num_bev_win=max(1, v.shape[2] // 2),
+                )
+            else:
+                fusion = PriorFusion3DVoxel(
+                    prior_pc_range=self.prior_pc_range,
+                    prior_voxel_size=self.prior_voxel_size,
+                    bev_hidden_channels=self.neck_channels,
+                    prior_in_channels=self.prior_in_channels,
+                    out_num_z=v.shape[-1],
+                    out_channels=v.shape[1],
+                )
             v = fusion(v, prior_feats, prior_coords, prior_valid, train)
             bev = jnp.transpose(v, (0, 1, 4, 2, 3))
 

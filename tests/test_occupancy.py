@@ -355,3 +355,32 @@ def test_train_occ_cli(tmp_path):
         d = pickle.load(f)
     assert d["ema_updates"] == 3
     assert "params" in d and "ema" in d
+
+
+def test_bevdet_occ_crossattn_fusion(occ_model):
+    """The prior_fuse_cfg selector's crossattn variant wires
+    PriorFusion3DCrossAttn into the BEV encoder hook (bevdet_occ.py:51-53)."""
+    _, _, args = occ_model
+    rng = np.random.RandomState(3)
+    pf = jnp.asarray(rng.rand(1, 30, 68).astype(np.float32))
+    pc = jnp.asarray(np.stack([
+        rng.randint(0, 100, (1, 30)), rng.randint(0, 50, (1, 30)),
+        rng.randint(0, 4, (1, 30))], -1).astype(np.int32))
+    pv = jnp.asarray(np.ones((1, 30), np.float32))
+    model = BEVDetOcc(
+        grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
+        view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
+        bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
+        num_classes=18, prior_fusion="crossattn",
+        prior_pc_range=[-30.0, -15.0, -1.0, 30.0, 15.0, 1.0],
+        prior_voxel_size=[0.6, 0.6, 0.5],
+    )
+    imgs = jnp.asarray(rng.rand(1, 2, 3, *INPUT_SIZE).astype(np.float32))
+    geo = _geometry(1, 2)
+    params = model.init(jax.random.PRNGKey(0), imgs, *geo,
+                        prior_feats=pf, prior_coords=pc, prior_valid=pv)
+    (occ, _), _ = model.apply(params, imgs, *geo, prior_feats=pf,
+                              prior_coords=pc, prior_valid=pv,
+                              mutable=["batch_stats"])
+    assert occ.shape == (1, 20, 20, 8, 18)
+    assert np.isfinite(np.asarray(occ)).all()
