@@ -241,3 +241,26 @@ def test_raster_evaluate_iou():
     assert abs(out["drivable"] - 4 / 8) < 1e-6
     assert out["divider"] == 0.0
     assert abs(out["mIoU"] - 0.25) < 1e-6
+
+
+def test_stream_mapnet_prior_only(smn_inputs):
+    """use_prior_only zeroes the camera BEV before fusion
+    (StreamMapNet_prioronly.py ablation): different images must give the
+    SAME output; different priors must change it."""
+    imgs, lidar2img, pf, pc, pv = smn_inputs
+    model = StreamMapNet(
+        bev_hw=(10, 20), roi_size=(60.0, 30.0), img_size=(32, 64),
+        embed_dim=32, num_queries=12, num_points=10,
+        prior_pc_range=[-30.0, -15.0, -1.0, 30.0, 15.0, 1.0],
+        prior_voxel_size=[0.6, 0.6, 0.5], use_prior_only=True,
+    )
+    kw = dict(prior_feats=pf, prior_coords=pc, prior_valid=pv)
+    params = model.init(jax.random.PRNGKey(0), imgs, lidar2img, **kw)
+    out1, _ = model.apply(params, imgs, lidar2img, mutable=["batch_stats"], **kw)
+    out2, _ = model.apply(params, imgs * 0.3 + 0.1, lidar2img,
+                          mutable=["batch_stats"], **kw)
+    np.testing.assert_allclose(np.asarray(out1["scores"]),
+                               np.asarray(out2["scores"]), atol=1e-6)
+    out3, _ = model.apply(params, imgs, lidar2img, mutable=["batch_stats"],
+                          prior_feats=pf * 2.0, prior_coords=pc, prior_valid=pv)
+    assert float(np.abs(np.asarray(out1["scores"]) - np.asarray(out3["scores"])).max()) > 0
