@@ -253,3 +253,48 @@ def make_camera_params(items: List[ImageMetadata]):
         c2w=jnp.asarray(c2w), fx=jnp.asarray(fx), fy=jnp.asarray(fy),
         cx=jnp.asarray(cx), cy=jnp.asarray(cy), video_ids=jnp.asarray(vid),
     )
+
+
+def visualize_kmeans(outputs: DataparserOutputs, out_path: Path,
+                     map_ax=None) -> Path:
+    """Tile-assignment diagnostic plot (mynuscenes_ms_dataparser.py:375-414):
+    per-video ego tracks colored per scene, red 'x' centroids, red AABB
+    rectangles, nerfstudio->nuScenes coordinate flip (negated x/y). The
+    reference draws over the nuScenes drivable-area map; pass a prepared
+    ``map_ax`` for that (the devkit is optional here), otherwise a plain
+    axes is used.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if map_ax is None:
+        _fig, ax = plt.subplots(figsize=(10, 10))
+    else:
+        ax = map_ax
+    rng = np.random.default_rng(0)
+
+    track: List[List[float]] = []
+    items = outputs.items
+    for i, item in enumerate(items):
+        track.append(list(item.c2w[:3, 3]))
+        if i == len(items) - 1 or items[i + 1].video_id != item.video_id:
+            p = np.asarray(track)[:, :2]
+            ax.plot(-p[:, 0], -p[:, 1], "o-", color=list(rng.random(3)),
+                    alpha=0.3, linewidth=2, markersize=2)
+            track = []
+
+    c = np.asarray(outputs.centroids)
+    ax.plot(-c[:, 0], -c[:, 1], "x", color="r", markersize=8)
+    for aabb in np.asarray(outputs.aabbs):
+        xs = [aabb[0][0], aabb[1][0], aabb[1][0], aabb[0][0], aabb[0][0]]
+        ys = [aabb[0][1], aabb[0][1], aabb[1][1], aabb[1][1], aabb[0][1]]
+        ax.plot([-x for x in xs], [-y for y in ys], "-", color="r", linewidth=1)
+    ax.set_aspect("equal")
+    ax.grid(True, which="both")
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    plt.savefig(out_path, dpi=150)
+    plt.close("all")
+    return out_path

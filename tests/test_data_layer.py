@@ -148,3 +148,13 @@ def test_datamanager_and_train_step(scene_dir):
         losses.append(float(metrics["total_loss"]))
     dm.close()
     assert np.isfinite(losses).all()
+
+
+def test_visualize_kmeans_writes_png(tmp_path, scene_dir):
+    """The tile-assignment diagnostic plot (dataparser.py:375-414 analog)
+    renders per-video tracks + centroids + AABBs to a PNG."""
+    from presight_tpu.data.dataparser import visualize_kmeans
+
+    out = parse(_config(scene_dir), "train")
+    p = visualize_kmeans(out, tmp_path / "kmeans.png")
+    assert p.exists() and p.stat().st_size > 1000
