@@ -208,3 +208,39 @@ def test_padded_routing_matches_sorted_path():
     g_sort = jax.grad(f_sort)(params)["hash_table"]
     np.testing.assert_allclose(np.asarray(g_pad), np.asarray(g_sort),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_padded_routing_roundtrip_properties():
+    """PaddedRouting invariants under adversarial expert distributions:
+    empty experts, all-one-expert, uneven splits. pad->unpad must be the
+    identity, valid slots must partition the rows, and each block must be
+    expert-pure."""
+    from presight_tpu.fields import build_padded_routing, pad_rows, unpad_rows
+
+    rng = np.random.RandomState(0)
+    cases = [
+        np.zeros(40, np.int32),                    # all one expert
+        np.full(40, 3, np.int32),                  # all the LAST expert
+        rng.randint(0, 4, 64).astype(np.int32),    # mixed
+        np.repeat(np.arange(4, dtype=np.int32), 16),  # sorted already
+        np.array([2] * 63 + [0], np.int32),        # heavily skewed
+    ]
+    for ids in cases:
+        E, block = 4, 8
+        pr = build_padded_routing(jnp.asarray(ids), E, block)
+        x = jnp.asarray(rng.randn(len(ids), 5).astype(np.float32))
+        xp = pad_rows(x, pr)
+        # roundtrip identity
+        np.testing.assert_array_equal(np.asarray(unpad_rows(xp, pr)), np.asarray(x))
+        # valid slots count == N and are a permutation of the rows
+        valid = np.asarray(pr.slot_valid)
+        assert valid.sum() == len(ids)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(pr.to_slot)[valid]), np.arange(len(ids)))
+        # every valid slot's expert matches its row's expert
+        eos = np.asarray(pr.expert_of_slot)
+        np.testing.assert_array_equal(
+            eos[valid], ids[np.asarray(pr.to_slot)[valid]])
+        # blocks are expert-pure by construction (expert_of_slot constant
+        # within each block)
+        assert (eos.reshape(-1, block) == eos.reshape(-1, block)[:, :1]).all()
