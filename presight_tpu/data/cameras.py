@@ -179,19 +179,29 @@ def exp_map_so3xr3(deltas: jnp.ndarray) -> jnp.ndarray:
     """
     rho = deltas[:, :3]
     omega = deltas[:, 3:]
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)
-    theta = jnp.maximum(theta, 1e-12)
-    axis = omega / theta
-    k = jnp.zeros((deltas.shape[0], 3, 3), deltas.dtype)
-    k = k.at[:, 0, 1].set(-axis[:, 2]).at[:, 0, 2].set(axis[:, 1])
-    k = k.at[:, 1, 0].set(axis[:, 2]).at[:, 1, 2].set(-axis[:, 0])
-    k = k.at[:, 2, 0].set(-axis[:, 1]).at[:, 2, 1].set(axis[:, 0])
+    small = jnp.linalg.norm(omega, axis=-1) < 1e-6
+
+    def skew(v):
+        k = jnp.zeros((v.shape[0], 3, 3), v.dtype)
+        k = k.at[:, 0, 1].set(-v[:, 2]).at[:, 0, 2].set(v[:, 1])
+        k = k.at[:, 1, 0].set(v[:, 2]).at[:, 1, 2].set(-v[:, 0])
+        return k.at[:, 2, 0].set(-v[:, 1]).at[:, 2, 1].set(v[:, 0])
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=deltas.dtype), (deltas.shape[0], 3, 3))
+    # Near zero, Rodrigues' axis = omega/|omega| is 0/0 — and a jnp.where on
+    # the OUTPUT alone would still propagate NaN through the untaken
+    # branch's gradient. Sanitize the input of the Rodrigues branch (any
+    # finite stand-in; its result is discarded) and use the 2nd-order
+    # Taylor exp(hat(w)) ≈ I + hat(w) + hat(w)²/2 on the small branch,
+    # which is exact to O(|w|³) and smoothly differentiable at 0.
+    omega_safe = jnp.where(small[:, None], jnp.ones_like(omega), omega)
+    theta = jnp.linalg.norm(omega_safe, axis=-1, keepdims=True)
+    k = skew(omega_safe / theta)
     theta = theta[..., None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=deltas.dtype), k.shape)
-    rot = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * (k @ k)
-    # Identity when omega ~ 0 (avoids 0/0 in axis).
-    small = jnp.linalg.norm(omega, axis=-1) < 1e-8
-    rot = jnp.where(small[:, None, None], eye, rot)
+    rot_rodrigues = eye + jnp.sin(theta) * k + (1.0 - jnp.cos(theta)) * (k @ k)
+    h = skew(omega)
+    rot_taylor = eye + h + 0.5 * (h @ h)
+    rot = jnp.where(small[:, None, None], rot_taylor, rot_rodrigues)
     return jnp.concatenate([rot, rho[:, :, None]], axis=-1)
 
 

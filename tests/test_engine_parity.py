@@ -105,3 +105,51 @@ def test_camera_deltas_identity_and_rotation():
     out = apply_camera_deltas(cams, d)
     expect = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
     np.testing.assert_allclose(np.asarray(out.c2w[0, :3, :3]), expect, atol=1e-6)
+
+
+def test_camera_optimizer_so3xr3_receives_gradients():
+    """S14: the optional SO3xR3 pose refinement path — camera deltas get
+    nonzero gradients through ray generation and move on an update
+    (camera_optimizers.py SO3xR3 semantics; off by default in PreSight)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from presight_tpu.data.cameras import (
+        CameraParams, apply_camera_deltas, exp_map_so3xr3, generate_rays,
+    )
+
+    rng = np.random.RandomState(0)
+    C = 4
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (C, 1, 1))
+    c2w[:, :3, 3] = rng.randn(C, 3)
+    cams = CameraParams(
+        c2w=jnp.asarray(c2w),
+        fx=jnp.full((C,), 50.0), fy=jnp.full((C,), 50.0),
+        cx=jnp.full((C,), 32.0), cy=jnp.full((C,), 16.0),
+    )
+    ray_index = jnp.asarray(np.stack([
+        rng.randint(0, C, 64), rng.randint(0, 32, 64), rng.randint(0, 64, 64),
+    ], -1).astype(np.int32))
+    target = jnp.asarray(rng.rand(64, 3).astype(np.float32))
+
+    def loss(deltas):
+        rb = generate_rays(apply_camera_deltas(cams, deltas), ray_index)
+        return jnp.sum((rb.directions - target) ** 2) + jnp.sum(rb.origins ** 2)
+
+    deltas = jnp.zeros((C, 6))
+    g = jax.grad(loss)(deltas)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0  # both rho and omega get gradients
+    assert float(jnp.abs(g[:, 3:]).max()) > 0  # rotation part too
+
+    # identity deltas are exactly the identity transform
+    adj = exp_map_so3xr3(jnp.zeros((C, 6)))
+    np.testing.assert_allclose(np.asarray(adj[:, :3, :3]),
+                               np.tile(np.eye(3, dtype=np.float32), (C, 1, 1)),
+                               atol=1e-7)
+    # a pure-translation delta shifts origins by exactly rho
+    d = jnp.zeros((C, 6)).at[:, :3].set(1.5)
+    shifted = apply_camera_deltas(cams, d)
+    np.testing.assert_allclose(np.asarray(shifted.c2w[:, :3, 3]),
+                               c2w[:, :3, 3] + 1.5, rtol=1e-6)
