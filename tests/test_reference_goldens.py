@@ -137,3 +137,26 @@ def test_camera_rays_match_reference():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rb.directions), g["directions"],
                                rtol=1e-4, atol=2e-5)
+
+
+def test_undistort_newton_roundtrip():
+    """Property: applying the OpenCV forward distortion model to the
+    Newton-undistorted coords recovers the input (camera_utils.py:374-382
+    forward model), across random moderate coefficient sets."""
+    import jax.numpy as jnp
+    from presight_tpu.data.cameras import _undistort_newton
+
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        dist = (rng.rand(6) - 0.5) * np.array([0.2, 0.04, 0.01, 0.004, 0.01, 0.01])
+        coords = (rng.rand(200, 2).astype(np.float32) - 0.5) * 0.8
+        und = np.asarray(_undistort_newton(
+            jnp.asarray(coords), jnp.asarray(np.tile(dist, (200, 1)), dtype=jnp.float32)))
+        x, y = und[:, 0], und[:, 1]
+        k1, k2, k3, k4, p1, p2 = dist
+        r = x * x + y * y
+        d = 1.0 + r * (k1 + r * (k2 + r * (k3 + r * k4)))
+        xd = d * x + 2 * p1 * x * y + p2 * (r + 2 * x * x)
+        yd = d * y + 2 * p2 * x * y + p1 * (r + 2 * y * y)
+        np.testing.assert_allclose(np.stack([xd, yd], -1), coords,
+                                   atol=2e-5, rtol=1e-4)
