@@ -19,6 +19,7 @@ weights instead of a padding mode.
 
 from __future__ import annotations
 
+import math
 from typing import Dict, Sequence, Tuple
 
 import flax.linen as nn
@@ -292,7 +293,9 @@ class LSSViewTransformer(nn.Module):
                 )
 
         feat = DepthNet(self.mid_channels, D, self.out_channels,
-                        stereo=self.stereo)(
+                        stereo=self.stereo,
+                        cv_stages=int(math.log2(self.downsample
+                                                // self.cv_downsample)))(
             x.reshape(B * N, Hf, Wf, Cin), mlp_input, cost_volume, train
         )  # (B*N, Hf, Wf, D + C)
         depth_logits = feat[..., :D]

@@ -77,7 +77,10 @@ def main(argv=None) -> int:
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--weight-decay", type=float, default=1e-2)
     parser.add_argument("--grad-clip", type=float, default=5.0)
-    parser.add_argument("--ema-decay", type=float, default=0.9999)
+    # MEGVIIEMAHook default (bevdet-occ-...-randomdrop.py:281 uses the hook
+    # default decay=0.9990 with init_updates=10560 on resume).
+    parser.add_argument("--ema-decay", type=float, default=0.9990)
+    parser.add_argument("--ema-init-updates", type=int, default=0)
     parser.add_argument("--data-dir", type=Path, default=None)
     parser.add_argument("--out", type=Path, default=Path("outputs/occ"))
     parser.add_argument("--temporal", action="store_true")
@@ -111,7 +114,7 @@ def main(argv=None) -> int:
         optax.adamw(args.lr, weight_decay=args.weight_decay),
     )
     opt_state = tx.init(variables)
-    ema = ema_init(variables)
+    ema = ema_init(variables, init_updates=args.ema_init_updates)
 
     @jax.jit
     def step(variables, opt_state, ema, batch):

@@ -26,15 +26,21 @@ class EMAState(NamedTuple):
     updates: jnp.ndarray  # () int32 update counter
 
 
-def ema_init(params) -> EMAState:
-    """EMA starts as a copy of the initial parameters (ema.py:39)."""
+def ema_init(params, init_updates: int = 0) -> EMAState:
+    """EMA starts as a copy of the initial parameters (ema.py:39).
+
+    ``init_updates`` seeds the ramp counter: MEGVIIEMAHook resumes mid-run
+    with ``init_updates=10560`` in the shipped PreSight config
+    (bevdet-occ-r50d-8x4-24e_wcamprior_randomdrop.py:281), which puts d(t)
+    immediately at the asymptotic decay instead of replaying the ramp.
+    """
     return EMAState(
         params=jax.tree_util.tree_map(jnp.asarray, params),
-        updates=jnp.asarray(0, jnp.int32),
+        updates=jnp.asarray(init_updates, jnp.int32),
     )
 
 
-def ema_update(state: EMAState, params, decay: float = 0.9999,
+def ema_update(state: EMAState, params, decay: float = 0.9990,
                ramp: float = 2000.0) -> EMAState:
     """One EMA step (ema.py:48-59). jit-safe; call inside the train step."""
     t = state.updates + 1
