@@ -43,7 +43,26 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         piecewise_sampler_threshold=100.0 * pose_rescale,
         pose_scale_factor=pose_rescale,
     )
-    if storage == "shared-profile":
+    if storage == "grid-profile":
+        # shared-profile + the cached-density-grid first proposal round
+        # (fields/prop_field.py prop_grid_density): round 1 is one gather +
+        # trilerp per sample from a per-expert 64^3 cell grid, no MLP, no
+        # backward; the grid refreshes from the fine prop field every 128
+        # steps (amortized into the reported rate).
+        config = NerfactoNuscMSConfig(
+            hash_storage="shared", prop_shared_mlp=True, remat=False,
+            log2_hashmap_size=15, num_levels=5,
+            features_per_level=8,
+            prop_grid_res=64,
+            proposal_net_args_list=(
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
+                     base_res=16, max_res=1024),
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
+                     base_res=16, max_res=4096),
+            ),
+            **common,
+        )
+    elif storage == "shared-profile":
         # The shipped -tpu method-config profile (configs/method_configs.py
         # _tpu_profile): 'shared' storage — per-level table leaves sized for
         # XLA's fast (<= 8 MB output) scatter regime, experts folded into
@@ -124,10 +143,20 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     sched = ProposalUpdateSchedule(config)
     step_state = {"i": 1000}  # steady-state step counter (past warmup)
 
+    from presight_tpu.models.nerfacto_ms import make_prop_grid
+
+    grid_state = {"grid": make_prop_grid(params, config)}
+
+    def refresh(state):
+        if config.use_prop_grid:
+            grid_state["grid"] = make_prop_grid(state.params, config)
+        return grid_state["grid"]
+
     def step(state, cameras, batch, rng, scalars):
         i = step_state["i"]
         updated = sched.updated(i)
-        out = steps(state, cameras, batch, rng, scalars, stop_prop_grad=not updated)
+        out = steps(state, cameras, batch, rng, scalars,
+                    stop_prop_grad=not updated, prop_grid=grid_state["grid"])
         sched.step_cb(i, updated)
         step_state["i"] = i + 1
         return out
@@ -151,13 +180,14 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         sigma=jnp.asarray(5.0, jnp.float32),
         los_mult=jnp.asarray(0.1, jnp.float32),
     )
-    return step, state, cameras, batch_for, scalars
+    return step, state, cameras, batch_for, scalars, refresh, config
 
 
-def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20, storage="corner"):
+def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20,
+                 storage="corner", repeats=3):
     import jax
 
-    step, state, cameras, batch_for, scalars = build(
+    step, state, cameras, batch_for, scalars, refresh, config = build(
         num_experts, log2_hashmap_size, num_rays, storage
     )
     key = jax.random.PRNGKey(0)
@@ -168,6 +198,20 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20, storage="co
         state, metrics = step(state, cameras, batches[0], sub, scalars)
     _ = float(metrics["total_loss"])
 
+    # Amortized grid-refresh cost: measure the refresh program separately
+    # (it runs every prop_grid_update_every steps in training) and charge
+    # refresh_dt / update_every to every step.
+    refresh_overhead = 0.0
+    if config.use_prop_grid:
+        g = refresh(state)
+        g.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(3):
+            g = refresh(state)
+        g.block_until_ready()
+        refresh_dt = (time.perf_counter() - t0) / 3
+        refresh_overhead = refresh_dt / max(config.prop_grid_update_every, 1)
+
     # Steady-state timing: steps chain through the donated TrainState, and a
     # real training loop fetches metrics at a logging cadence, not every
     # step — so we read a value every 4 steps and at the end. The final
@@ -176,16 +220,21 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20, storage="co
     # the tunnel's per-dispatch round-trip (~hundreds of ms on this runtime,
     # and weather-dependent). Verified honest: per-step time is flat from
     # N=12 to N=24 (true pipelining, not queue absorption).
-    t0 = time.perf_counter()
+    rates = []
     loss = 0.0
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, cameras, batches[i % len(batches)], sub, scalars)
-        if (i + 1) % 4 == 0:
-            loss = float(metrics["total_loss"])
-    loss = float(metrics["total_loss"])
-    dt = (time.perf_counter() - t0) / iters
-    return num_rays / dt, dt, loss
+    for _rep in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, cameras, batches[i % len(batches)], sub, scalars)
+            if (i + 1) % 4 == 0:
+                loss = float(metrics["total_loss"])
+        loss = float(metrics["total_loss"])
+        dt = (time.perf_counter() - t0) / iters + refresh_overhead
+        rates.append(num_rays / dt)
+    rates.sort()
+    median = rates[len(rates) // 2]
+    return median, rates, num_rays / median, loss
 
 
 def main():
@@ -196,21 +245,26 @@ def main():
     # rung is the reference-exact table layout, reported alongside.
     ladder = [
         # Headline at the reference's real batch size (65,536 rays/step).
+        ("grid-profile", 16, 15, 65536),
         ("shared-profile", 16, 15, 65536),
-        ("tpu-profile", 16, 20, 16384),
         ("corner", 8, 18, 4096),
     ]
+    spreads = {}
     for storage, num_experts, log2, num_rays in ladder:
         try:
-            rays_per_sec, step_time, loss = bench_config(
+            big = storage in ("grid-profile", "shared-profile")
+            rays_per_sec, rates, step_time, loss = bench_config(
                 num_experts, log2, num_rays,
-                iters=12 if storage == "shared-profile" else 6,
+                iters=12 if big else 6,
                 storage=storage,
+                repeats=3 if big else 1,
             )
             results[storage] = rays_per_sec
+            spreads[storage] = rates
             print(
                 f"# {storage} E={num_experts} log2={log2} rays={num_rays}: "
-                f"{rays_per_sec:,.0f} rays/s ({step_time*1e3:.1f} ms/step, loss={loss:.3f})",
+                f"{rays_per_sec:,.0f} rays/s median of {[f'{r:,.0f}' for r in rates]} "
+                f"({step_time*1e3:.1f} ms/step, loss={loss:.3f})",
                 file=sys.stderr,
             )
         except Exception as e:  # noqa: BLE001 - OOM/compile fallback
@@ -234,6 +288,11 @@ def main():
     }
     if "corner" in results:
         line["reference_exact_layout_rays_per_sec"] = round(results["corner"], 1)
+    best_key = max(results, key=results.get)
+    if best_key in spreads and len(spreads[best_key]) > 1:
+        r = spreads[best_key]
+        line["spread_min_median_max"] = [round(r[0], 1), round(r[len(r) // 2], 1),
+                                         round(r[-1], 1)]
     print(json.dumps(line))
 
 

@@ -23,10 +23,10 @@ from ..utils import metrics as M
 def _render_fn(config: NerfactoNuscMSConfig):
     import jax
 
-    def fn(params, cameras, ray_index, rng):
+    def fn(params, cameras, ray_index, rng, prop_grid=None):
         bundle = generate_rays(cameras, ray_index)
         out = forward(params, config, bundle, rng, anneal=1.0, train=False,
-                      stop_prop_grad=True)
+                      stop_prop_grad=True, prop_grid=prop_grid)
         res = {
             "rgb": out["rgb"],
             "accumulation": out["accumulation"],
@@ -49,12 +49,16 @@ class ImageRenderer:
         self._fn = _render_fn(config)
 
     def render(self, params, cameras: CameraParams, camera_idx: int,
-               H: int, W: int, rng=None) -> Dict[str, np.ndarray]:
+               H: int, W: int, rng=None, prop_grid=None) -> Dict[str, np.ndarray]:
         import jax
         import jax.numpy as jnp
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        if prop_grid is None and self.config.use_prop_grid:
+            from ..models.nerfacto_ms import make_prop_grid
+
+            prop_grid = make_prop_grid(params, self.config)
         rows, cols = np.mgrid[0:H, 0:W]
         ray_index = np.stack(
             [np.full(H * W, camera_idx, np.int32),
@@ -65,7 +69,7 @@ class ImageRenderer:
             idx = ray_index[s : s + self.chunk]
             pad = self.chunk - len(idx)
             idx_p = np.pad(idx, ((0, pad), (0, 0)))
-            res = self._fn(params, cameras, jnp.asarray(idx_p), rng)
+            res = self._fn(params, cameras, jnp.asarray(idx_p), rng, prop_grid)
             for k, v in res.items():
                 outs.setdefault(k, []).append(np.asarray(v)[: len(idx)])
         stacked = {k: np.concatenate(v) for k, v in outs.items()}

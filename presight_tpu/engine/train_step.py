@@ -75,6 +75,7 @@ def make_train_step(
         batch: Dict[str, jnp.ndarray],
         rng: jax.Array,
         scalars: StepScalars,
+        prop_grid=None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         def loss_fn(params):
             cams = cameras
@@ -88,6 +89,7 @@ def make_train_step(
             outputs = forward(
                 params, config, bundle, rng, scalars.anneal,
                 train=True, stop_prop_grad=stop_prop_grad,
+                prop_grid=prop_grid,
             )
             losses = compute_losses(outputs, batch, config, scalars.sigma, scalars.los_mult)
             total = sum(losses.values())
@@ -126,7 +128,7 @@ def _make_split_train_step(
     means (my_pipeline.py:121-124).
     """
 
-    def one_chunk_loss(params, cameras, chunk, rng, scalars):
+    def one_chunk_loss(params, cameras, chunk, rng, scalars, prop_grid=None):
         cams = cameras
         if "camera_opt" in params:
             from ..data.cameras import apply_camera_deltas
@@ -136,6 +138,7 @@ def _make_split_train_step(
         outputs = forward(
             params, config, bundle, rng, scalars.anneal,
             train=True, stop_prop_grad=stop_prop_grad,
+            prop_grid=prop_grid,
         )
         losses = compute_losses(outputs, chunk, config, scalars.sigma, scalars.los_mult)
         total = sum(losses.values())
@@ -148,6 +151,7 @@ def _make_split_train_step(
         batch: Dict[str, jnp.ndarray],
         rng: jax.Array,
         scalars: StepScalars,
+        prop_grid=None,
     ):
         num_rays = batch["ray_index"].shape[0]
         micro = min(microbatch_rays, num_rays)
@@ -158,7 +162,8 @@ def _make_split_train_step(
         vg = jax.value_and_grad(one_chunk_loss, has_aux=True)
 
         if k == 1:
-            (total, (losses, mse)), grads = vg(params, cameras, batch, rng, scalars)
+            (total, (losses, mse)), grads = vg(params, cameras, batch, rng, scalars,
+                                               prop_grid)
         else:
             chunked = {
                 key: v.reshape(k, micro, *v.shape[1:]) for key, v in batch.items()
@@ -169,7 +174,7 @@ def _make_split_train_step(
                 grads_acc, total_acc, losses_acc, mse_acc = carry
                 chunk, chunk_rng = xs
                 (total_c, (losses_c, mse_c)), grads_c = vg(
-                    params, cameras, chunk, chunk_rng, scalars
+                    params, cameras, chunk, chunk_rng, scalars, prop_grid
                 )
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_c)
                 losses_acc = jax.tree_util.tree_map(jnp.add, losses_acc, losses_c)
@@ -181,7 +186,7 @@ def _make_split_train_step(
                 lambda: one_chunk_loss(
                     params, cameras,
                     {key: v[0] for key, v in chunked.items()},
-                    rngs[0], scalars,
+                    rngs[0], scalars, prop_grid,
                 )[1][0]
             )
             zero_losses = jax.tree_util.tree_map(
@@ -211,8 +216,9 @@ def _make_split_train_step(
     grad_jit = jax.jit(grad_fn)
     update_jit = jax.jit(update_fn, donate_argnums=(0, 1) if donate else ())
 
-    def step_fn(state, cameras, batch, rng, scalars):
-        grads, metrics = grad_jit(state.params, cameras, batch, rng, scalars)
+    def step_fn(state, cameras, batch, rng, scalars, prop_grid=None):
+        grads, metrics = grad_jit(state.params, cameras, batch, rng, scalars,
+                                  prop_grid)
         new_state = update_jit(state, grads)
         return new_state, metrics
 
@@ -233,8 +239,10 @@ class TrainStepPair:
                                   microbatch_rays=microbatch_rays),
         }
 
-    def __call__(self, state, cameras, batch, rng, scalars, stop_prop_grad: bool):
-        return self._steps[bool(stop_prop_grad)](state, cameras, batch, rng, scalars)
+    def __call__(self, state, cameras, batch, rng, scalars, stop_prop_grad: bool,
+                 prop_grid=None):
+        return self._steps[bool(stop_prop_grad)](state, cameras, batch, rng,
+                                                 scalars, prop_grid)
 
 
 def init_train_state(params: Dict, tx: optax.GradientTransformation) -> TrainState:

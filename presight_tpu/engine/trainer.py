@@ -32,7 +32,9 @@ from ..models.nerfacto_ms import (
     init_model,
     line_of_sight_mult_at,
     line_of_sight_sigma_at,
+    make_prop_grid,
     param_groups,
+    prop_grid_refresh_due,
 )
 from ..utils import profiler
 from ..utils.writer import Writer
@@ -212,6 +214,9 @@ class Trainer:
         self.steps = TrainStepPair(model_cfg, self.tx, split_update=True,
                                    microbatch_rays=cfg.microbatch_rays)
         self.update_sched = ProposalUpdateSchedule(model_cfg)
+        # Cached round-0 proposal grid (-tpu profiles, model_cfg.prop_grid_res
+        # > 0): refreshed on a host schedule from the fine prop field.
+        self._prop_grid = None
         self.writer = Writer(self.run_dir, vis=cfg.vis)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
         self.start_step = 0
@@ -291,10 +296,14 @@ class Trainer:
 
                 batch = shard_batch(self.mesh, batch)
             updated = self.update_sched.updated(step)
+            if mcfg.use_prop_grid and (
+                self._prop_grid is None or prop_grid_refresh_due(mcfg, step)
+            ):
+                self._prop_grid = make_prop_grid(self.state.params, mcfg)
             self._rng, sub = jax.random.split(self._rng)
             self.state, metrics = self.steps(
                 self.state, self.cameras, batch, sub, scalars,
-                stop_prop_grad=not updated,
+                stop_prop_grad=not updated, prop_grid=self._prop_grid,
             )
             self.update_sched.step_cb(step, updated)
 
@@ -341,11 +350,11 @@ class Trainer:
             from ..data.cameras import generate_rays
             from ..models.nerfacto_ms import compute_losses, forward
 
-            def eval_loss(params, cameras, batch, rng, scalars):
+            def eval_loss(params, cameras, batch, rng, scalars, prop_grid=None):
                 bundle = generate_rays(cameras, batch["ray_index"])
                 outputs = forward(
                     params, mcfg, bundle, rng, scalars.anneal,
-                    train=False, stop_prop_grad=True,
+                    train=False, stop_prop_grad=True, prop_grid=prop_grid,
                 )
                 losses = compute_losses(outputs, batch, mcfg, scalars.sigma,
                                         scalars.los_mult)
@@ -376,7 +385,7 @@ class Trainer:
         # against the eval camera table.
         self._rng, sub = jax.random.split(self._rng)
         losses = self._eval_loss_fn(self.state.params, self.eval_cameras,
-                                    batch, sub, scalars)
+                                    batch, sub, scalars, self._prop_grid)
         host = {f"eval_{k}": float(v) for k, v in losses.items()}
         self.writer.put_dict(host, step)
         print(f"eval batch @ step {step}: "
@@ -393,7 +402,8 @@ class Trainer:
         idx = (step // self.config.steps_per_eval_image) % len(self.eval_items)
         item = self.eval_items[idx]
         outputs = self._image_renderer.render(
-            self.state.params, self.eval_cameras, idx, item.H, item.W
+            self.state.params, self.eval_cameras, idx, item.H, item.W,
+            prop_grid=self._prop_grid,
         )
         gt = item.load_image()
         metrics = image_metrics(outputs["rgb"], gt,

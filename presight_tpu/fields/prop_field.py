@@ -110,3 +110,103 @@ def prop_density(params: Dict, config: PropFieldConfig, positions: jnp.ndarray) 
         params, config, sort_rows(flat, routing.order, routing.inverse), routing
     )
     return unsort_rows(dens, routing.order, routing.inverse).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Cached proposal density grid (the TPU-native first proposal round)
+# ---------------------------------------------------------------------------
+#
+# The reference's first proposal round trains a full hash-grid density field
+# and evaluates it on 128 samples/ray every step (ray_samplers.py:572-599 via
+# prop_density_field.py). On v5e that round is pure table-row traffic: 128
+# samples x num_levels gathers per ray, their backward duals, plus the
+# grouped MLP — ~35% of the whole train step (PERFORMANCE.md round 2).
+#
+# TPU-native replacement (the -tpu profile, quality-gated): the first round
+# reads a per-expert DENSE density grid over the contracted unit cube,
+# stored one-row-per-cell with the 8 cell-corner densities in the row
+# (exactly the 'cell' hash-table layout) — one gather + trilerp per sample,
+# no MLP, no hash collisions, and NO backward at all (the grid is a cache,
+# refreshed every K steps from the trained fine proposal field, which the
+# interlevel loss keeps matched to the final NeRF weights). This is the
+# Instant-NGP occupancy-grid idea applied to the proposal histogram.
+
+from ..ops.hash_encoding import _CORNER_BITS  # noqa: E402  (module-level dep)
+
+
+def prop_grid_cells(corner_density: jnp.ndarray) -> jnp.ndarray:
+    """(E, G+1, G+1, G+1) corner densities -> (E * G^3, 8) cell rows.
+
+    Row corner order matches _CORNER_BITS (bit=1 selects the +1 corner on
+    that axis), so the trilerp weights are shared with hash_encode."""
+    e = corner_density.shape[0]
+    g = corner_density.shape[1] - 1
+    cols = []
+    for bx, by, bz in _CORNER_BITS:
+        cols.append(
+            corner_density[:, bx:bx + g, by:by + g, bz:bz + g]
+        )
+    cells = jnp.stack(cols, axis=-1)  # (E, G, G, G, 8)
+    return cells.reshape(e * g * g * g, 8)
+
+
+def prop_grid_density(
+    grid_cells: jnp.ndarray,  # (E * G^3, 8) f32 cell rows
+    centroids: jnp.ndarray,  # (E, 3)
+    aabbs: jnp.ndarray,  # (E, 2, 3)
+    positions: jnp.ndarray,  # (..., 3) world
+    res: int,
+) -> jnp.ndarray:
+    """Density from the cached grid: route -> contract -> 1 gather -> trilerp.
+
+    Always gradient-free (the grid is a cache, not a parameter)."""
+    shape = positions.shape[:-1]
+    flat = jax.lax.stop_gradient(positions.reshape(-1, 3))
+    eids = assign_experts(flat, centroids)
+    unit, selector = contract_positions(flat, aabbs[eids])
+    scaled = unit * res
+    fl = jnp.clip(jnp.floor(scaled), 0.0, res - 1)
+    offset = jnp.clip(scaled - fl, 0.0, 1.0)  # (N, 3)
+    cell = fl.astype(jnp.int32)
+    cidx = (cell[..., 0] * res + cell[..., 1]) * res + cell[..., 2]
+    rows = jax.lax.stop_gradient(grid_cells)[eids * (res * res * res) + cidx]
+    bits = jnp.asarray(_CORNER_BITS)  # (8, 3)
+    w = jnp.where(bits[None] == 1, offset[:, None, :], 1.0 - offset[:, None, :])
+    w = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
+    dens = jnp.sum(rows * w, axis=-1)
+    return (dens * selector).reshape(shape)
+
+
+def refresh_prop_grid(
+    params: Dict,
+    config: PropFieldConfig,
+    res: int,
+    num_experts: int,
+) -> jnp.ndarray:
+    """Evaluate the (trained) proposal field on every grid corner and pack
+    cell rows. Runs every K steps on a host schedule — cost amortizes to
+    noise (one round-1's worth of field evals per K steps).
+
+    Corner coordinates are generated directly in contracted unit space, so
+    no AABB inverse is needed; the out-of-range selector is identically 1
+    in the open cube interior and the boundary corners (measure zero for
+    real samples) evaluate the field without it."""
+    n = (res + 1) ** 3
+    lin = jnp.arange(res + 1, dtype=jnp.float32) / jnp.float32(res)
+    gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    pts = jnp.stack([gx, gy, gz], axis=-1).reshape(n, 3)  # (n, 3) unit coords
+
+    def eval_expert(e):
+        eids = jnp.full((n,), e, jnp.int32)
+        feats = hash_encode(params["hash_table"], pts, config.hash, expert_ids=eids)
+        if config.shared_mlp:
+            logit = apply_mlp(params["mlp"], feats)[..., 0]
+        else:
+            logit = apply_mlp(
+                [(w[e], b[e]) for (w, b) in params["mlp"]], feats
+            )[..., 0]
+        return trunc_exp(logit)
+
+    corners = jax.lax.map(eval_expert, jnp.arange(num_experts))  # (E, n)
+    corners = corners.reshape(num_experts, res + 1, res + 1, res + 1)
+    return prop_grid_cells(corners)

@@ -28,7 +28,13 @@ from ..fields.ingp_field import (
     rgb_padded,
     semantics_padded,
 )
-from ..fields.prop_field import PropFieldConfig, init_prop_field, prop_density
+from ..fields.prop_field import (
+    PropFieldConfig,
+    init_prop_field,
+    prop_density,
+    prop_grid_density,
+    refresh_prop_grid,
+)
 from ..fields.router import (
     build_routing,
     pad_rows,
@@ -111,6 +117,20 @@ class NerfactoNuscMSConfig:
     """Share one proposal-density MLP across experts (see
     fields/prop_field.py PropFieldConfig.shared_mlp). -tpu profiles only;
     quality-gated by the PSNR study."""
+    prop_grid_res: int = 0
+    """> 0 enables the cached-density-grid first proposal round (-tpu
+    profiles only; see fields/prop_field.py prop_grid_density): round 1
+    reads a per-expert G^3 dense grid (1 gather/sample, no MLP, no
+    backward) refreshed every ``prop_grid_update_every`` steps from the
+    fine proposal field. Replaces the round-1 hash field entirely; its
+    interlevel-loss term (gradient-free under the cache) is dropped.
+    Quality-gated by the PSNR study (QUALITY.md)."""
+    prop_grid_update_every: int = 128
+    prop_grid_warmup_steps: int = 1024
+    prop_grid_warmup_every: int = 16
+    """Early training refreshes the grid every ``prop_grid_warmup_every``
+    steps (the fine prop field is still moving fast), then every
+    ``prop_grid_update_every``."""
     compute_dtype: str = "float32"
     hash_storage: str = "corner"
     """'corner' = reference-exact iNGP rows; 'cell' = TPU-first one-row-per-
@@ -141,6 +161,10 @@ class NerfactoNuscMSConfig:
             semantic_dim=self.semantic_dim,
             hash_storage=self.hash_storage,
         )
+
+    @property
+    def use_prop_grid(self) -> bool:
+        return self.prop_grid_res > 0
 
     def prop(self, i: int) -> PropFieldConfig:
         args = self.proposal_net_args_list[min(i, len(self.proposal_net_args_list) - 1)]
@@ -189,12 +213,18 @@ def init_model(
     def buf(x):
         return jnp.array(x, jnp.float32)
 
-    num_prop_fields = 1 if config.use_same_proposal_network else config.num_proposal_iterations
+    # Proposal rounds backed by trained hash fields. With the cached grid
+    # (-tpu profile) round 0 has no parameters at all — props[j] holds the
+    # field for round j+1.
+    prop_rounds = list(range(1 if config.use_prop_grid else 0,
+                             config.num_proposal_iterations))
+    if config.use_same_proposal_network:
+        prop_rounds = prop_rounds[:1]
     params = {
         "field": init_ingp_field(keys[0], config.field, num_experts, buf(aabbs), buf(centroids)),
         "props": [
             init_prop_field(keys[1 + i], config.prop(i), num_experts, buf(aabbs), buf(centroids))
-            for i in range(num_prop_fields)
+            for i in prop_rounds
         ],
     }
     if config.use_sky_model:
@@ -280,20 +310,52 @@ _REMAT_POLICY = jax.checkpoint_policies.save_only_these_names(
 )
 
 
-def _density_fns(params: Dict, config: NerfactoNuscMSConfig):
-    def make(i):
+def _density_fns(params: Dict, config: NerfactoNuscMSConfig,
+                 prop_grid: Optional[jnp.ndarray] = None):
+    def make_field(round_idx):
         # With use_same_proposal_network, every round evaluates prop field 0
-        # (nerfacto_nusc_ms.py:263-276).
-        field_idx = 0 if config.use_same_proposal_network else i
+        # (nerfacto_nusc_ms.py:263-276). With the cached grid, props[j]
+        # backs round j+1.
+        first_round = 1 if config.use_prop_grid else 0
+        if config.use_same_proposal_network:
+            cfg_idx = first_round
+            list_idx = 0
+        else:
+            cfg_idx = round_idx
+            list_idx = round_idx - first_round
 
         def fn(prop_params, positions):
-            return prop_density(prop_params, config.prop(field_idx), positions)
+            return prop_density(prop_params, config.prop(cfg_idx), positions)
 
         if config.remat:
             fn = jax.checkpoint(fn, policy=_REMAT_POLICY)
-        return lambda positions: fn(params["props"][field_idx], positions)
+        return lambda positions: fn(params["props"][list_idx], positions)
 
-    return [make(i) for i in range(config.num_proposal_iterations)]
+    def make_grid():
+        if prop_grid is None:
+            raise ValueError(
+                "config.prop_grid_res > 0 requires the cached grid (pass "
+                "prop_grid=refresh_prop_grid(...) through the step)"
+            )
+        buffers = params["props"][0] if params["props"] else params["field"]
+
+        def fn(positions):
+            return prop_grid_density(
+                prop_grid,
+                jax.lax.stop_gradient(buffers["centroids"]),
+                jax.lax.stop_gradient(buffers["aabbs"]),
+                positions, config.prop_grid_res,
+            )
+
+        return fn
+
+    fns = []
+    for i in range(config.num_proposal_iterations):
+        if config.use_prop_grid and i == 0:
+            fns.append(make_grid())
+        else:
+            fns.append(make_field(i))
+    return fns
 
 
 def forward(
@@ -304,6 +366,7 @@ def forward(
     anneal: jnp.ndarray,
     train: bool = True,
     stop_prop_grad: bool = False,
+    prop_grid: Optional[jnp.ndarray] = None,
 ) -> Dict:
     """Full forward pass (nerfacto_nusc_ms.py:452-546).
 
@@ -315,7 +378,7 @@ def forward(
     ray_samples, weights_list, ray_samples_list = proposal_sample(
         rng,
         bundle,
-        _density_fns(params, config),
+        _density_fns(params, config, prop_grid),
         num_proposal_samples=config.num_proposal_samples_per_ray,
         num_nerf_samples=config.num_nerf_samples_per_ray,
         spec=config.spacing,
@@ -324,6 +387,13 @@ def forward(
         single_jitter=config.use_single_jitter,
         stop_prop_grad=stop_prop_grad,
     )
+    if config.use_prop_grid:
+        # The cached-grid round is gradient-free: its interlevel term would
+        # be a constant (both operands stop-gradient), so it is dropped from
+        # the loss lists entirely — saving one blur_stepfun + quadratic-CDF
+        # interpolation over the largest (128-bin) histogram per microbatch.
+        weights_list = weights_list[1:]
+        ray_samples_list = ray_samples_list[1:]
 
     num_rays, num_samples = ray_samples.starts.shape
     positions = ray_samples.positions().reshape(-1, 3)  # (N, 3)
@@ -449,12 +519,40 @@ def forward(
     return outputs
 
 
+def make_prop_grid(params: Dict, config: NerfactoNuscMSConfig) -> Optional[jnp.ndarray]:
+    """Refresh the cached round-0 density grid from the fine proposal field.
+
+    Returns None when the config doesn't use the grid. The result feeds the
+    ``prop_grid`` argument of forward/forward_depth; refresh cadence is a
+    host-side schedule (config.prop_grid_update_every)."""
+    if not config.use_prop_grid:
+        return None
+    source_round = 1 if not config.use_same_proposal_network else 1
+    num_experts = params["field"]["centroids"].shape[0]
+    return refresh_prop_grid(
+        params["props"][0], config.prop(source_round),
+        config.prop_grid_res, num_experts,
+    )
+
+
+def prop_grid_refresh_due(config: NerfactoNuscMSConfig, step: int) -> bool:
+    """Host-side refresh schedule: every warmup_every steps early (the fine
+    prop field is still moving fast), then every update_every."""
+    if not config.use_prop_grid:
+        return False
+    every = (config.prop_grid_warmup_every
+             if step < config.prop_grid_warmup_steps
+             else config.prop_grid_update_every)
+    return step % max(every, 1) == 0
+
+
 def forward_depth(
     params: Dict,
     config: NerfactoNuscMSConfig,
     bundle: RayBundle,
     rng: jax.Array,
     threshold: float = 0.5,
+    prop_grid: Optional[jnp.ndarray] = None,
 ) -> Dict:
     """Density-only inference used by prior extraction
     (nerfacto_nusc_ms.py:688-734 get_depth): proposal sampling + main-field
@@ -463,7 +561,7 @@ def forward_depth(
     ray_samples, _, _ = proposal_sample(
         rng,
         bundle,
-        _density_fns(params, config),
+        _density_fns(params, config, prop_grid),
         num_proposal_samples=config.num_proposal_samples_per_ray,
         num_nerf_samples=config.num_nerf_samples_per_ray,
         spec=config.spacing,
@@ -521,6 +619,29 @@ def field_semantics(params: Dict, config: NerfactoNuscMSConfig, positions: jnp.n
     _, _, sem_p, routing = _field_heads_padded(params, config, flat)
     sem = semantics_padded(params["field"], config.field, sem_p, routing)
     return unpad_rows(sem, routing).reshape(*shape, -1)
+
+
+def point_queries(
+    params: Dict,
+    config: NerfactoNuscMSConfig,
+    positions: jnp.ndarray,
+    prop_grid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extraction phase 2, fused: mean density over (proposal nets + main
+    field) and [0,1]-clipped semantic features at world positions, in ONE
+    program sharing ONE field routing (extract_priors.py:130-138 runs these
+    as separate queries; the density/semantic heads here reuse the same
+    padded layout, removing two of the three routing passes)."""
+    shape = positions.shape[:-1]
+    flat = positions.reshape(-1, 3)
+    density_p, _, sem_p, routing = _field_heads_padded(params, config, flat)
+    sem_p = semantics_padded(params["field"], config.field, sem_p, routing)
+    densities = [unpad_rows(density_p, routing)]
+    for fn in _density_fns(params, config, prop_grid):
+        densities.append(fn(flat))
+    mean_density = sum(densities) / len(densities)
+    feats = jnp.clip(unpad_rows(sem_p, routing), 0.0, 1.0)
+    return mean_density.reshape(shape), feats.reshape(*shape, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -584,8 +705,12 @@ def compute_losses(
         )
 
     if config.enable_z_anti_aliasing:
+        # With the cached-grid first round, forward() drops round 0 from the
+        # lists; keep the per-round pulse widths aligned.
+        pulse_width = (config.pulse_width[1:] if config.use_prop_grid
+                       else config.pulse_width)
         il = z_anti_aliasing_interlevel_loss(
-            outputs["weights_list"], outputs["ray_samples_list"], config.pulse_width
+            outputs["weights_list"], outputs["ray_samples_list"], pulse_width
         )
     else:
         il = interlevel_loss(outputs["weights_list"], outputs["ray_samples_list"])

@@ -74,6 +74,16 @@ def variant_model(base, storage: str):
                 for a in base.proposal_net_args_list
             ),
         )
+    if storage == "prop-grid":
+        # prop-lean + the cached-density-grid first proposal round
+        # (fields/prop_field.py prop_grid_density): round 1 reads a dense
+        # per-expert grid refreshed from the fine prop field instead of a
+        # trained hash field. Quality question: does the coarse cached
+        # histogram place round-2 samples well enough to hold PSNR/SSIM?
+        return dataclasses.replace(
+            variant_model(base, "prop-lean"),
+            prop_grid_res=64,
+        )
     if storage == "prop-lean":
         # shared-rebalanced + proposal encodings halved again (2 levels x
         # 4 features at the demo scale): same encoding width and parameter
