@@ -142,3 +142,145 @@ def test_downstream_loader_contract(tmp_path):
     world[:, :2] *= -1
     hits_norm = loaded["hits"] / loaded["hits"].mean()
     assert world.shape == (2, 3) and hits_norm.shape == (2,)
+
+
+def test_streaming_accumulator_byte_identical_all_paths():
+    """Streaming (numpy AND native C++) voxel accumulation produces
+    byte-identical outputs to the one-shot sort/segment path: all three sum
+    per-voxel in point-arrival order in f64 (VERDICT r2 task 3 'outputs
+    byte-identical to the one-shot path')."""
+    from presight_tpu.prior.voxelize import StreamingVoxelAccumulator
+
+    rng = np.random.RandomState(7)
+    batches = [
+        (
+            rng.randn(n, 3) * 4,
+            rng.rand(n, 3).astype(np.float32),
+            rng.rand(n, 5).astype(np.float16),
+        )
+        for n in (700, 1300, 1, 999)
+    ]
+    min_bound = np.array([-20.0, -20.0, -20.0])
+
+    acc = StreamingVoxelAccumulator(0.4, min_bound, feature_dim=5)
+    for pts, cols, feats in batches:
+        acc.add(pts, cols, feats)
+    streamed = acc.finalize()
+
+    all_pts = np.concatenate([b[0] for b in batches])
+    all_cols = np.concatenate([b[1] for b in batches])
+    all_feats = np.concatenate([b[2] for b in batches])
+    oneshot = voxel_downsample(all_pts, 0.4, colors=all_cols,
+                               features=all_feats, min_bound=min_bound)
+
+    np.testing.assert_array_equal(streamed["keys"], oneshot["keys"])
+    np.testing.assert_array_equal(streamed["hits"], oneshot["hits"])
+    np.testing.assert_array_equal(streamed["points"], oneshot["points"])
+    np.testing.assert_array_equal(streamed["colors"], oneshot["colors"])
+    np.testing.assert_array_equal(streamed["features"], oneshot["features"])
+
+    try:
+        from presight_tpu.native import VoxelAccumulator, available
+    except Exception:
+        available = lambda: False  # noqa: E731
+    if available():
+        nat = VoxelAccumulator(0.4, min_bound, feature_dim=5)
+        for pts, cols, feats in batches:
+            nat.add(pts, cols, np.asarray(feats, np.float32))
+        native_out = nat.finalize()
+        np.testing.assert_array_equal(native_out["keys"], oneshot["keys"])
+        np.testing.assert_array_equal(native_out["hits"], oneshot["hits"])
+        np.testing.assert_array_equal(native_out["points"], oneshot["points"])
+
+
+def test_extract_voxels_streaming_matches_oneshot(tmp_path):
+    """End-to-end: the default streaming extract_voxels writes the same
+    pickle as the accumulate-then-voxelize path."""
+    import jax
+
+    from presight_tpu.data.dataparser import DataParserConfig, make_camera_params, parse
+    from presight_tpu.data.synthetic import generate_scene
+    from presight_tpu.models import NerfactoNuscMSConfig, init_model
+    from presight_tpu.prior.extraction import extract_voxels
+
+    scene_dir = generate_scene(tmp_path / "nusc", num_frames=2, height=20, width=32)
+    out = parse(
+        DataParserConfig(
+            data_dir=scene_dir, location="synthetic-city", num_aabbs=1,
+            pose_scale_factor=0.05, depth_type="lidar",
+            centroids_dir=scene_dir / "centroids",
+        ),
+        split="train",
+    )
+    config = NerfactoNuscMSConfig(
+        near_plane=0.1 * 0.05, far_plane=1000.0 * 0.05,
+        piecewise_sampler_threshold=100.0 * 0.05,
+        num_levels=3, base_res=4, max_res=32, log2_hashmap_size=9,
+        features_per_level=2, hidden_dim=16, hidden_dim_color=16,
+        num_proposal_samples_per_ray=(12, 6), num_nerf_samples_per_ray=6,
+        proposal_net_args_list=(
+            dict(features_per_level=1, log2_hashmap_size=8, num_levels=2,
+                 base_res=4, max_res=16),
+            dict(features_per_level=1, log2_hashmap_size=8, num_levels=2,
+                 base_res=4, max_res=32),
+        ),
+        sky_mlp_dims=16, semantic_dim=64, pose_scale_factor=0.05,
+    )
+    params = init_model(jax.random.PRNGKey(0), config, out.aabbs, out.centroids,
+                        len(out.items), out.num_videos)
+    cameras = make_camera_params(out.items)
+
+    kw = dict(
+        params=params, config=config, items=out.items, cameras=cameras,
+        pose_scale_factor=out.pose_scale_factor,
+        origin=out.pose_transformation, dino_to_rgb=out.dino_to_rgb,
+        frame_interval=1, camera_scaling_factor=1.0, density_threshold=0.0,
+        hit_thr_ratio=0.2,
+    )
+    r_stream = extract_voxels(output_dir=tmp_path / "s", streaming=True, **kw)
+    r_oneshot = extract_voxels(output_dir=tmp_path / "o", streaming=False, **kw)
+
+    assert len(r_stream["points"]) == len(r_oneshot["points"]) > 0
+    np.testing.assert_array_equal(r_stream["points"], r_oneshot["points"])
+    np.testing.assert_array_equal(r_stream["hits"], r_oneshot["hits"])
+    np.testing.assert_array_equal(r_stream["features"], r_oneshot["features"])
+    np.testing.assert_array_equal(r_stream["colors"], r_oneshot["colors"])
+
+
+def test_streaming_accumulator_memory_is_voxel_bounded():
+    """Peak RSS stays O(voxels), not O(points): stream 20M points (480 MB if
+    retained as f64 triples, 1.1 GB with colors/features) into a small voxel
+    set in a subprocess and bound its peak RSS well below the retained-points
+    footprint (VERDICT r2 task 3 done-criterion)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent("""
+        import resource
+        import numpy as np
+        from presight_tpu.prior.voxelize import make_streaming_accumulator
+
+        rng = np.random.RandomState(0)
+        min_bound = np.array([-9.0, -9.0, -9.0])
+        acc = make_streaming_accumulator(0.4, min_bound, feature_dim=8)
+        n_batches, batch = 40, 500_000   # 20M points total
+        for i in range(n_batches):
+            pts = rng.rand(batch, 3) * 16 - 8   # ~64k voxels at 0.4m
+            cols = rng.rand(batch, 3).astype(np.float32)
+            feats = rng.rand(batch, 8).astype(np.float32)
+            acc.add(pts, cols, feats)
+        out = acc.finalize()
+        assert len(out["points"]) > 10_000
+        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        # numpy+jax import baseline is ~350 MB; one 500k-point batch is
+        # ~28 MB. Retaining all 20M points would add >1100 MB.
+        assert peak_mb < 800, f"peak RSS {peak_mb:.0f} MB suggests O(points) retention"
+        print(f"OK peak_rss_mb={peak_mb:.0f} voxels={len(out['points'])}")
+    """)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK peak_rss_mb=" in proc.stdout
