@@ -72,12 +72,44 @@ _LPIPS_CACHE = {}
 
 
 def lpips_fn():
-    """Host-side LPIPS via torchmetrics (CPU torch), or None if unavailable.
+    """LPIPS scorer: (pred, gt) HxWx3 float [0,1] -> float, or None.
 
-    Used only at eval cadence (every few thousand steps), so host execution
-    is off the hot path."""
+    Resolution order:
+      1. pure-jnp LPIPS (utils/lpips.py) with weights from the file named by
+         ``$PRESIGHT_LPIPS_WEIGHTS`` (a torch LPIPS state_dict saved as .npz
+         with numpy arrays, or a .pt/.pth loadable by CPU torch);
+      2. torchmetrics' LPIPS (needs its pretrained download cache);
+      3. None — eval_lpips degrades gracefully.
+
+    Used only at eval cadence (every few thousand steps), so weight loading
+    cost is off the hot path."""
     if "fn" in _LPIPS_CACHE:
         return _LPIPS_CACHE["fn"]
+
+    import os
+
+    path = os.environ.get("PRESIGHT_LPIPS_WEIGHTS", "")
+    if path and os.path.exists(path):
+        try:
+            from . import lpips as L
+
+            if path.endswith(".npz"):
+                state = dict(np.load(path))
+            else:
+                import torch
+
+                raw = torch.load(path, map_location="cpu")
+                state = {k: v.numpy() for k, v in raw.items()}
+            params = L.load_torch_state_dict(state)
+            jitted = jax.jit(lambda p, g: L.lpips(params, p, g, normalize=True))
+
+            def fn(pred: np.ndarray, gt: np.ndarray) -> float:
+                return float(jitted(jnp.asarray(pred), jnp.asarray(gt)))
+
+            _LPIPS_CACHE["fn"] = fn
+            return fn
+        except Exception:  # noqa: BLE001 - malformed weights file
+            pass
     try:
         import torch
         from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity

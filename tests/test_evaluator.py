@@ -78,3 +78,143 @@ def test_occ_miou_metric():
     m2 = MetricMIoU(num_classes=3, use_image_mask=True)
     m2.add_batch(pred, gt, mask_camera=np.array([1, 1, 1, 1, 0, 0, 0]))
     np.testing.assert_allclose(m2.per_class_iou()[:2], [1/2, 2/3], rtol=1e-9)
+
+
+class _TorchLPIPSVGG:
+    """Minimal torch implementation of the published LPIPS-VGG architecture
+    (official `lpips` package semantics: scaling layer, VGG16 trunk tapped at
+    relu{1_2,2_2,3_3,4_3,5_3}, channel-unit-normalize, squared diff,
+    non-negative 1x1 linear head, spatial mean, sum over layers), driven by
+    the SAME weight pytree as the jnp port — an executed cross-framework
+    parity oracle that needs no pretrained download."""
+
+    def __init__(self, torch, params):
+        self.torch = torch
+        self.params = params
+
+    def _features(self, x):
+        torch = self.torch
+        import torch.nn.functional as F
+
+        feats = []
+        ci = 0
+        plan = ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3))
+        for bi, (_c, n) in enumerate(plan):
+            if bi > 0:
+                x = F.max_pool2d(x, 2, 2)
+            for _ in range(n):
+                p = self.params["convs"][ci]
+                w = torch.tensor(np.asarray(p["w"])).permute(3, 2, 0, 1)  # HWIO->OIHW
+                b = torch.tensor(np.asarray(p["b"]))
+                x = F.relu(F.conv2d(x, w, b, padding=1))
+                ci += 1
+            feats.append(x)
+        return feats
+
+    def __call__(self, pred_hwc, gt_hwc):
+        torch = self.torch
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def prep(img):
+            t = torch.tensor(np.moveaxis(img, -1, 0)[None], dtype=torch.float32)
+            t = t * 2.0 - 1.0  # normalize=True
+            return (t - shift) / scale
+
+        with torch.no_grad():
+            f0 = self._features(prep(pred_hwc))
+            f1 = self._features(prep(gt_hwc))
+            total = 0.0
+            for a, b, lin in zip(f0, f1, self.params["lins"]):
+                na = a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+                nb = b / (b.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+                d = (na - nb) ** 2
+                w = torch.tensor(np.asarray(lin)).view(1, -1, 1, 1)
+                total = total + (d * w).sum(dim=1).mean()
+        return float(total)
+
+
+def test_lpips_jnp_matches_torch_semantics():
+    """jnp LPIPS == a torch run of the same architecture + weights."""
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.utils import lpips as L
+
+    params = L.random_weights(jax.random.PRNGKey(7))
+    rng = np.random.RandomState(3)
+    a = rng.rand(33, 47, 3).astype(np.float32)
+    b = np.clip(a + 0.08 * rng.randn(33, 47, 3).astype(np.float32), 0, 1)
+
+    ours = float(L.lpips(params, jnp.asarray(a), jnp.asarray(b)))
+    ref = _TorchLPIPSVGG(torch, params)(a, b)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+    # Identity -> exactly zero distance; symmetry.
+    assert float(L.lpips(params, jnp.asarray(a), jnp.asarray(a))) < 1e-9
+    np.testing.assert_allclose(
+        float(L.lpips(params, jnp.asarray(b), jnp.asarray(a))), ours, rtol=1e-5
+    )
+
+
+def test_lpips_state_dict_loader_roundtrip(tmp_path):
+    """A torch-layout LPIPS state_dict (lpips-package key naming) loads into
+    the jnp pytree and scores identically to the source weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.utils import lpips as L
+
+    params = L.random_weights(jax.random.PRNGKey(11))
+
+    # Emit the official checkpoint layout: net.sliceK.<seq_idx>.{weight,bias}
+    # where seq indices follow torchvision vgg16.features numbering, and
+    # linK.model.1.weight (1, C, 1, 1).
+    state = {}
+    plan = ((64, 2, 1), (128, 2, 2), (256, 3, 3), (512, 3, 4), (512, 3, 5))
+    seq = 0
+    ci = 0
+    for c_out, n, s in plan:
+        if s > 1:
+            seq += 1  # the maxpool slot
+        for _ in range(n):
+            p = params["convs"][ci]
+            w = np.asarray(p["w"]).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            state[f"net.slice{s}.{seq}.weight"] = w
+            state[f"net.slice{s}.{seq}.bias"] = np.asarray(p["b"])
+            seq += 2  # conv + relu
+            ci += 1
+    for li in range(5):
+        state[f"lin{li}.model.1.weight"] = np.asarray(
+            params["lins"][li]
+        ).reshape(1, -1, 1, 1)
+
+    loaded = L.load_torch_state_dict(state)
+
+    rng = np.random.RandomState(5)
+    a = rng.rand(16, 16, 3).astype(np.float32)
+    b = rng.rand(16, 16, 3).astype(np.float32)
+    np.testing.assert_allclose(
+        float(L.lpips(loaded, jnp.asarray(a), jnp.asarray(b))),
+        float(L.lpips(params, jnp.asarray(a), jnp.asarray(b))),
+        rtol=1e-6,
+    )
+
+    # And through the metrics.lpips_fn entry (npz file + env var).
+    import os
+
+    npz_path = tmp_path / "lpips_weights.npz"
+    np.savez(npz_path, **state)
+    os.environ["PRESIGHT_LPIPS_WEIGHTS"] = str(npz_path)
+    M._LPIPS_CACHE.clear()
+    try:
+        fn = M.lpips_fn()
+        assert fn is not None
+        got = fn(a, b)
+        np.testing.assert_allclose(
+            got, float(L.lpips(params, jnp.asarray(a), jnp.asarray(b))), rtol=1e-5
+        )
+    finally:
+        del os.environ["PRESIGHT_LPIPS_WEIGHTS"]
+        M._LPIPS_CACHE.clear()
