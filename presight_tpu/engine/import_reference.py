@@ -1,0 +1,206 @@
+"""One-way importer: reference PreSight checkpoints -> presight_tpu params.
+
+The reference saves ``step-%09d.ckpt`` files holding
+``{"step", "pipeline": pipeline.state_dict(), "optimizers", ...}``
+(nerfstudio-0.3.3/nerfstudio/engine/trainer.py:432-460); ``eval_setup``
+reloads the latest one (utils/eval_utils.py:68-110). The pipeline state_dict
+prefixes the model as ``_model.`` (``module.`` first under DDP), with module
+names from nerfacto_nusc_ms.py:213-385:
+
+  _model.field.fields.{e}.mlp_base_grid.hash_table        (L*T, F)
+  _model.field.fields.{e}.mlp_base_mlp.layers.{i}.weight  (out, in) torch
+  _model.field.fields.{e}.rgb_head.layers.{i}.weight
+  _model.field.fields.{e}.semantic_head.layers.{i}.weight
+  _model.field.fields.{e}.aabb                            (2, 3) buffer
+  _model.field.centroids                                  (E, 3) buffer
+  _model.proposal_networks.{p}.fields.{e}.encoding.hash_table
+  _model.proposal_networks.{p}.fields.{e}.mlp_base.1.layers.{i}.weight
+  _model.sky_model.fields.{e}.{rgb,semantic}_head.layers.{i}.weight
+  _model.appearance_embedding.embedding.weight
+  _model.video_embedding.embedding.weight
+
+This importer maps those names onto our stacked-expert pytree
+(fields/ingp_field.py docstring): per-expert tensors stack on a leading E
+axis, torch Linear (out, in) weights transpose to (in, out), and per-expert
+hash tables concatenate into the flat (E*L*T, F) 'corner' table. Only the
+reference-exact 'corner' storage accepts imports — the TPU 'cell'/'shared'
+layouts are different parameterizations with no weight-space mapping.
+
+Purpose (judge round-2 task 4): numerical parity of the ASSEMBLED model
+against executed reference weights, and running ``extract_priors`` on
+reference-trained checkpoints.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+
+def strip_prefixes(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Drop the pipeline's ``_model.`` and DDP's ``module.`` prefixes
+    (trainer.py:418-421 does the module strip on load)."""
+    out = {}
+    for k, v in state.items():
+        k = re.sub(r"^(module\.)?(_model\.)?", "", k)
+        out[k] = np.asarray(v)
+    return out
+
+
+def _num_experts(state: Dict[str, np.ndarray], prefix: str) -> int:
+    es = set()
+    pat = re.compile(re.escape(prefix) + r"fields\.(\d+)\.")
+    for k in state:
+        m = pat.match(k)
+        if m:
+            es.add(int(m.group(1)))
+    if not es:
+        raise ValueError(f"no experts found under {prefix!r}")
+    return max(es) + 1
+
+
+def _mlp_layers(state: Dict[str, np.ndarray], template: str,
+                num_experts: int) -> List:
+    """Stack per-expert torch MLP layers into [(W (E,in,out), b (E,out))].
+
+    ``template`` contains {e} for the expert index and {i} for the layer
+    index (torch MLP: nn.Linear entries in self.layers,
+    field_components/mlp.py:138-153)."""
+    import jax.numpy as jnp
+
+    layers = []
+    i = 0
+    while template.format(e=0, i=i) + ".weight" in state:
+        ws = np.stack([
+            state[template.format(e=e, i=i) + ".weight"].T  # (in, out)
+            for e in range(num_experts)
+        ])
+        bs = np.stack([
+            state[template.format(e=e, i=i) + ".bias"]
+            for e in range(num_experts)
+        ])
+        layers.append((jnp.asarray(ws), jnp.asarray(bs)))
+        i += 1
+    if not layers:
+        raise ValueError(f"no MLP layers matched {template!r}")
+    return layers
+
+
+def _hash_table(state: Dict[str, np.ndarray], template: str,
+                num_experts: int):
+    """Concatenate per-expert (L*T, F) tables into the flat corner layout
+    (E*L*T, F) our hash_encode indexes with expert_ids offsets."""
+    import jax.numpy as jnp
+
+    tables = [state[template.format(e=e)] for e in range(num_experts)]
+    return jnp.asarray(np.concatenate(tables, axis=0))
+
+
+def import_reference_state_dict(state: Dict[str, np.ndarray], config) -> Dict:
+    """Reference pipeline state_dict -> our parameter pytree.
+
+    ``config`` is a NerfactoNuscMSConfig with hash_storage='corner' matching
+    the checkpoint's architecture. Raises on layout mismatches.
+    """
+    import jax.numpy as jnp
+
+    if config.hash_storage != "corner":
+        raise ValueError(
+            "reference checkpoints import only into the reference-exact "
+            f"'corner' hash storage (config has {config.hash_storage!r})"
+        )
+    if config.use_prop_grid:
+        raise ValueError("reference checkpoints have no cached-grid round; "
+                         "set prop_grid_res=0")
+
+    state = strip_prefixes(state)
+    e_field = _num_experts(state, "field.")
+
+    aabbs = jnp.asarray(np.stack(
+        [state[f"field.fields.{e}.aabb"] for e in range(e_field)]
+    ))
+    centroids = jnp.asarray(state["field.centroids"])
+
+    def buf(x):
+        return jnp.array(x)
+
+    field = {
+        "hash_table": _hash_table(
+            state, "field.fields.{e}.mlp_base_grid.hash_table", e_field
+        ),
+        "base_mlp": _mlp_layers(
+            state, "field.fields.{e}.mlp_base_mlp.layers.{i}", e_field
+        ),
+        "rgb_head": _mlp_layers(
+            state, "field.fields.{e}.rgb_head.layers.{i}", e_field
+        ),
+        "aabbs": buf(aabbs),
+        "centroids": buf(centroids),
+    }
+    if config.use_semantics:
+        field["semantic_head"] = _mlp_layers(
+            state, "field.fields.{e}.semantic_head.layers.{i}", e_field
+        )
+
+    props = []
+    p = 0
+    while f"proposal_networks.{p}.fields.0.encoding.hash_table" in state:
+        props.append({
+            "hash_table": _hash_table(
+                state,
+                "proposal_networks.%d.fields.{e}.encoding.hash_table" % p,
+                e_field,
+            ),
+            "mlp": _mlp_layers(
+                state,
+                "proposal_networks.%d.fields.{e}.mlp_base.1.layers.{i}" % p,
+                e_field,
+            ),
+            "aabbs": buf(aabbs),
+            "centroids": buf(centroids),
+        })
+        p += 1
+    if not props:
+        raise ValueError("no proposal networks found in checkpoint")
+
+    params: Dict = {"field": field, "props": props}
+
+    if config.use_sky_model and "sky_model.fields.0.rgb_head.layers.0.weight" in state:
+        sky = {
+            "rgb_head": _mlp_layers(
+                state, "sky_model.fields.{e}.rgb_head.layers.{i}", e_field
+            ),
+            "centroids": buf(centroids),
+        }
+        if config.use_semantics:
+            sky["semantic_head"] = _mlp_layers(
+                state, "sky_model.fields.{e}.semantic_head.layers.{i}", e_field
+            )
+        params["sky"] = sky
+
+    if "appearance_embedding.embedding.weight" in state:
+        params["appearance_embedding"] = jnp.asarray(
+            state["appearance_embedding.embedding.weight"]
+        )
+    if "video_embedding.embedding.weight" in state:
+        params["video_embedding"] = jnp.asarray(
+            state["video_embedding.embedding.weight"]
+        )
+    return params
+
+
+def load_reference_checkpoint(path: Path, config) -> Dict:
+    """Load a reference ``step-*.ckpt`` (torch pickle) and import it.
+
+    Needs CPU torch only (baked into the image). The checkpoint layout is
+    trainer.py:445-455: pipeline state under the 'pipeline' key."""
+    import torch
+
+    raw = torch.load(str(path), map_location="cpu", weights_only=False)
+    state = raw["pipeline"] if "pipeline" in raw else raw
+    state = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+             for k, v in state.items()}
+    return import_reference_state_dict(state, config)

@@ -235,3 +235,174 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    full_model_golden()
+
+
+def full_model_golden() -> None:
+    """Executed full-model parity golden (judge round-2 task 4): build the
+    reference NerfactoNuscMSModel (implementation='torch', tiny dims, 2
+    experts), run ONE eval-mode forward on fixed rays, and save the
+    state_dict + inputs + outputs. The parity test imports the state_dict
+    through engine/import_reference.py and asserts our assembled forward
+    matches rgb/depth/semantics.
+
+    One deliberate patch: the deployed reference runs `tcnn+fp32`, whose SH
+    encoding evaluates the polynomial on true unit directions; the pure-
+    torch fallback (the only one runnable on CPU) evaluates it on the
+    [0,1]-shifted values — a known upstream inconsistency (see
+    presight_tpu/ops/math.py sh_encoding). We patch the fallback to the
+    deployed tcnn semantics so the golden reflects the production model.
+    """
+    sys.path.insert(0, REF)
+    _stub("nerfacc", OccGridEstimator=object)
+    _stub("wandb", Image=object, init=lambda *a, **k: None, log=lambda *a, **k: None)
+    _stub("torchvision")
+
+    # The model module imports (and populate_modules instantiates) the
+    # torchmetrics trio; none are exercised by get_outputs.
+    class _DummyMetric:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):  # pragma: no cover - never hit
+            raise RuntimeError("metric stub")
+
+    _stub("torchmetrics")
+    _stub("torchmetrics.functional",
+          structural_similarity_index_measure=_DummyMetric())
+    _stub("torchmetrics.image", PeakSignalNoiseRatio=_DummyMetric)
+    _stub("torchmetrics.image.lpip",
+          LearnedPerceptualImagePatchSimilarity=_DummyMetric)
+
+    # nerfstudio.configs.base_config cannot import under python 3.12 (its
+    # writer/viewer configs use mutable dataclass defaults). The model chain
+    # only needs InstantiateConfig (base_model.py:31) — stub the minimal
+    # equivalent (base_config.py:47-54 semantics).
+    import dataclasses as _dc
+
+    @_dc.dataclass
+    class _PrintableConfig:
+        pass
+
+    @_dc.dataclass
+    class _InstantiateConfig(_PrintableConfig):
+        def setup(self, **kwargs):
+            return self._target(self, **kwargs)
+
+    _stub("nerfstudio.configs.base_config",
+          PrintableConfig=_PrintableConfig, InstantiateConfig=_InstantiateConfig)
+
+    import torch
+
+    from nerfstudio.field_components import encodings as enc_mod
+    from nerfstudio.utils.math import components_from_spherical_harmonics
+
+    def sh_tcnn_semantics(self, in_tensor):
+        return components_from_spherical_harmonics(
+            levels=self.levels, directions=in_tensor * 2.0 - 1.0
+        )
+
+    enc_mod.SHEncoding.forward = sh_tcnn_semantics
+
+    from nerfstudio.cameras.rays import RayBundle
+    from nerfstudio.data.scene_box import SceneBox
+    from nerfstudio.models.PreSight.nerfacto_nusc_ms import (
+        NerfactoNuscMSModel,
+        NerfactoNuscMSModelConfig,
+    )
+
+    torch.manual_seed(0)
+    E, R = 2, 48
+    g = torch.Generator().manual_seed(42)
+    centroids = torch.randn(E, 3, generator=g) * 2.0
+    aabbs = torch.stack([torch.stack([c - 5.0, c + 5.0]) for c in centroids])
+
+    cfg = NerfactoNuscMSModelConfig(
+        implementation="torch",
+        near_plane=0.05, far_plane=50.0,
+        piecewise_sampler_threshold=5.0,
+        num_levels=4, base_res=4, max_res=64, log2_hashmap_size=10,
+        features_per_level=2, hidden_dim=16, hidden_dim_color=16,
+        num_proposal_samples_per_ray=(12, 6), num_nerf_samples_per_ray=6,
+        proposal_net_args_list=[
+            dict(features_per_level=1, log2_hashmap_size=9, num_levels=3,
+                 base_res=4, max_res=32),
+            dict(features_per_level=1, log2_hashmap_size=9, num_levels=3,
+                 base_res=4, max_res=64),
+        ],
+        num_sky_mlp_layers=3, sky_mlp_dims=16,
+        use_semantics=True, semantic_dim=64,
+        appearance_embed_dim=4, video_embed_dim=12,
+        use_average_appearance_embedding=True,
+    )
+    dino_to_rgb = {
+        "reduction_matrix": torch.tensor(
+            np.random.RandomState(3).randn(64, 3).astype(np.float32)
+        ),
+        "rgb_min": torch.tensor([-1.0, -1.0, -1.0]),
+        "rgb_max": torch.tensor([1.0, 1.0, 1.0]),
+        "mean": torch.zeros(64),
+    }
+    model = NerfactoNuscMSModel(
+        config=cfg,
+        scene_box=SceneBox(aabb=torch.tensor([[-10.0] * 3, [10.0] * 3])),
+        num_train_data=8,
+        centroids=centroids,
+        aabbs=aabbs,
+        num_train_cameras=8,
+        num_train_videos=2,
+        dino_to_rgb=dino_to_rgb,
+        metadata={},
+    )
+    model.eval()
+
+    gr = torch.Generator().manual_seed(7)
+    origins = centroids[torch.randint(0, E, (R,), generator=gr)] \
+        + torch.randn(R, 3, generator=gr) * 1.5
+    directions = torch.nn.functional.normalize(
+        torch.randn(R, 3, generator=gr), dim=-1
+    )
+    bundle = RayBundle(
+        origins=origins,
+        directions=directions,
+        pixel_area=torch.full((R, 1), 1e-6),
+        camera_indices=torch.randint(0, 8, (R, 1), generator=gr),
+        metadata={"video_id": torch.randint(0, 2, (R, 1), generator=gr)},
+    )
+    with torch.no_grad():
+        out = model(bundle)
+
+    # Deterministic assembled-FIELD queries at fixed world points (no PDF
+    # chain, so parity holds to fp accumulation error): the multi-scene
+    # density_fn (ingp_field_ms.py:131) and semantic_fn (:165) used by
+    # prior extraction.
+    pts = centroids[torch.randint(0, E, (256,), generator=gr)] \
+        + torch.randn(256, 3, generator=gr) * 2.0
+    with torch.no_grad():
+        dens_pts = model.field.density_fn(pts)[0].squeeze(-1)
+        sem_pts = model.field.semantic_fn(pts)
+        # PropNetDensityFieldMS.density_fn returns the tensor directly
+        # (prop_density_field_ms.py:86-105), unlike the main field's tuple.
+        prop_dens_pts = [pn.density_fn(pts).squeeze(-1)
+                         for pn in model.proposal_networks]
+
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    payload = {
+        "origins": origins.numpy(),
+        "directions": directions.numpy(),
+        "camera_indices": bundle.camera_indices.numpy().astype(np.int32),
+        "video_ids": bundle.metadata["video_id"].numpy().astype(np.int32),
+        "rgb": out["rgb"].numpy(),
+        "depth": out["depth"].numpy(),
+        "expected_depth": out["expected_depth"].numpy(),
+        "accumulation": out["accumulation"].numpy(),
+        "semantics": out["semantics"].numpy(),
+        "query_points": pts.numpy(),
+        "query_density": dens_pts.numpy(),
+        "query_semantics": sem_pts.numpy(),
+        "query_prop_density_0": prop_dens_pts[0].numpy(),
+        "query_prop_density_1": prop_dens_pts[1].numpy(),
+    }
+    np.savez(OUT / "full_model.npz",
+             **{f"state::{k}": v for k, v in state.items()}, **payload)
+    print("full_model.npz", out["rgb"].shape, len(state), "state tensors")
