@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.prior_fusion import PriorFusion3DVoxel
+from .backbones import CustomFPN, CustomResNet3D, LSSFPN3D, ResNet
 from .view_transformer import LSSViewTransformer
 
 
@@ -130,6 +131,18 @@ class BEVDetOcc(nn.Module):
     view_out_channels: int = 64
     img_widths: Sequence[int] = (32, 64, 128, 256)
     neck_channels: int = 256
+    backbone: str = "simple"
+    """'simple' (strided-conv stand-in, toy tests) or 'resnet' — the
+    reference topology: ResNet (depth 50 by default) with out_indices
+    (0, 2, 3), stage 0 feeding BEVStereo matching and stages 2/3 the
+    CustomFPN (config bevdet-occ-...-randomdrop.py:96-116). base width
+    scales for toy runs."""
+    resnet_depth: int = 50
+    resnet_base_width: int = 64
+    bev_neck: str = "simple"
+    """'simple' (BEVEncoder3D stand-in) or 'lssfpn3d' — the reference BEV
+    encoder: CustomResNet3D num_layer (1,2,4) channels (C,2C,4C) strides
+    (1,2,2) + LSSFPN3D 7C->C (config :133-147)."""
     bev_widths: Sequence[int] = (64, 128)
     bev_out_channels: int = 32
     occ_out_dim: int = 32
@@ -156,18 +169,27 @@ class BEVDetOcc(nn.Module):
                  prev_stereo_feat=None, k2s_sensor=None,
                  train: bool = False):
         B, N, _, H, W = imgs.shape
-        enc = ImageEncoder(self.img_widths, self.neck_channels,
-                           stereo_stage=self.stereo_stage)
         imgs_nhwc = jnp.transpose(imgs.reshape(B * N, 3, H, W), (0, 2, 3, 1))
         curr_stereo = None
-        if self.stereo:
-            x, curr_stereo = enc(imgs_nhwc, train, return_stereo=True)
+        if self.backbone == "resnet":
+            # Reference chain (bevdet.py:43-61): ResNet out_indices (0,2,3),
+            # x[0] (stride 4) is the stereo matching feature, x[1:] feed
+            # CustomFPN whose single out_id=0 lands at stride 16.
+            feats = ResNet(self.resnet_depth, (0, 2, 3),
+                           self.resnet_base_width)(imgs_nhwc, train)
+            curr_stereo = feats[0] if self.stereo else None
+            x = CustomFPN(self.neck_channels, (0,))(feats[1:], train)
+            cv_downsample = 4
         else:
-            x = enc(imgs_nhwc, train)
+            enc = ImageEncoder(self.img_widths, self.neck_channels,
+                               stereo_stage=self.stereo_stage)
+            if self.stereo:
+                x, curr_stereo = enc(imgs_nhwc, train, return_stereo=True)
+            else:
+                x = enc(imgs_nhwc, train)
+            cv_downsample = 2 ** self.stereo_stage
         hf, wf = x.shape[1], x.shape[2]
         x = x.reshape(B, N, hf, wf, -1)
-
-        cv_downsample = 2 ** self.stereo_stage
         vt = LSSViewTransformer(
             grid_config=self.grid_config, input_size=self.input_size,
             downsample=self.downsample, in_channels=self.neck_channels,
@@ -244,7 +266,15 @@ class BEVDetOcc(nn.Module):
             v = fusion(v, prior_feats, prior_coords, prior_valid, train)
             bev = jnp.transpose(v, (0, 1, 4, 2, 3))
 
-        bev = BEVEncoder3D(self.bev_widths, self.bev_out_channels)(bev, train)
+        if self.bev_neck == "lssfpn3d":
+            c = self.view_out_channels
+            h = jnp.transpose(bev, (0, 2, 3, 4, 1))  # NDHWC, D=Z
+            feats = CustomResNet3D((1, 2, 4), (c, 2 * c, 4 * c),
+                                   (1, 2, 2))(h, train)
+            h = LSSFPN3D(c)(feats, train)
+            bev = jnp.transpose(h, (0, 4, 1, 2, 3))
+        else:
+            bev = BEVEncoder3D(self.bev_widths, self.bev_out_channels)(bev, train)
         occ = OccHead(self.occ_out_dim, self.num_classes)(bev, train)
         if self.stereo:
             # Hand the current stereo features back for the next frame.
