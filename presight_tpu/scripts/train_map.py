@@ -87,11 +87,13 @@ def main(argv=None) -> int:
     # init with the streaming branch active so the ConvGRU / query-
     # propagation params exist (frame 2+ uses them).
     bev_hw = model.bev_hw
+    topk = model.topk_propagate
     variables = model.init(
         jax.random.PRNGKey(args.seed), f0["imgs"], f0["lidar2img"],
         prev_bev=jnp.zeros((model.embed_dim, *bev_hw)),
         prev2curr=jnp.eye(3),
-        prev_queries=jnp.zeros((model.num_queries, model.embed_dim)))
+        prev_queries=jnp.zeros((topk, model.embed_dim)),
+        prev_ref_pts=jnp.full((topk, model.num_points, 2), 0.5))
 
     # AdamW + global-norm clip 35, the reference smn config's
     # optimizer/optimizer_config.
@@ -101,11 +103,11 @@ def main(argv=None) -> int:
     )
     opt_state = tx.init(variables)
 
-    from ..mapping.map_head import greedy_match
+    from ..mapping.map_head import greedy_match, select_topk_for_propagation
 
-    fwd = jax.jit(lambda v, imgs, l2i, pb, p2c, pq: model.apply(
+    fwd = jax.jit(lambda v, imgs, l2i, pb, p2c, pq, pr: model.apply(
         v, imgs, l2i, prev_bev=pb, prev2curr=p2c, prev_queries=pq,
-        train=True, mutable=["batch_stats"])[0])
+        prev_ref_pts=pr, train=True, mutable=["batch_stats"])[0])
 
     @jax.jit
     def grad_step(variables, opt_state, clip, assignments):
@@ -118,19 +120,22 @@ def main(argv=None) -> int:
             total = 0.0
             prev_bev = None
             prev_queries = None
+            prev_refs = None
             losses = {}
             for frame, assignment in zip(clip, assignments):
                 out, _mut = model.apply(
                     v, frame["imgs"], frame["lidar2img"],
                     prev_bev=prev_bev, prev2curr=frame["prev2curr"],
-                    prev_queries=prev_queries, train=True,
-                    mutable=["batch_stats"],
+                    prev_queries=prev_queries, prev_ref_pts=prev_refs,
+                    train=True, mutable=["batch_stats"],
                 )
                 losses = map_losses(out, frame["gt_lines"],
-                                    frame["gt_labels"], assignment)
+                                    frame["gt_labels"], assignment,
+                                    roi_size=model.roi_size)
                 total = total + sum(losses.values())
                 prev_bev = out["bev"]
-                prev_queries = out["queries"]
+                prev_queries, prev_refs = select_topk_for_propagation(
+                    out, model.topk_propagate)
             return total / len(clip), losses
 
         (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables)
@@ -143,13 +148,15 @@ def main(argv=None) -> int:
         assignments = []
         prev_bev = None
         prev_queries = None
+        prev_refs = None
         for frame in clip:
             out = fwd(variables, frame["imgs"], frame["lidar2img"],
-                      prev_bev, frame["prev2curr"], prev_queries)
+                      prev_bev, frame["prev2curr"], prev_queries, prev_refs)
             assignments.append(jnp.asarray(greedy_match(
                 np.asarray(out["lines"]), np.asarray(frame["gt_lines"]))))
             prev_bev = out["bev"]
-            prev_queries = out["queries"]
+            prev_queries, prev_refs = jax.tree_util.tree_map(
+                np.asarray, select_topk_for_propagation(out, model.topk_propagate))
         # Phase 2 (device): matched losses + AdamW update.
         return grad_step(variables, opt_state, clip, assignments)
 
