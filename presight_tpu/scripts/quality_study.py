@@ -114,7 +114,9 @@ def param_count(params) -> int:
     )
 
 
-def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = False):
+def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = False,
+                seed: int = 42, experts: int = 0, batch: int = 0,
+                data_dir: Path = None):
     from ..configs.method_configs import method_configs
     from ..engine.evaluator import evaluate_images
     from ..engine.trainer import Trainer, eval_setup
@@ -132,16 +134,34 @@ def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = Fals
         line_of_sight_end_step=iters,
         line_of_sight_decay_steps=iters,
     )
+    pipeline = base_cfg.pipeline
+    if experts:
+        pipeline = dataclasses.replace(
+            pipeline,
+            dataparser=dataclasses.replace(pipeline.dataparser,
+                                           num_aabbs=experts))
+    if batch:
+        pipeline = dataclasses.replace(
+            pipeline,
+            datamanager=dataclasses.replace(
+                pipeline.datamanager, train_num_rays_per_batch=batch))
+    if data_dir is not None:
+        pipeline = dataclasses.replace(
+            pipeline,
+            dataparser=dataclasses.replace(
+                pipeline.dataparser, data_dir=data_dir,
+                centroids_dir=data_dir / "centroids"))
     cfg = dataclasses.replace(
         base_cfg,
         max_num_iterations=iters,
         steps_per_save=max(iters, 100),
         steps_per_eval_batch=0,
         steps_per_eval_image=10 ** 9,
-        experiment_name=f"quality-{storage}",
+        seed=seed,
+        experiment_name=f"quality-{storage}-s{seed}",
         output_dir=out_root,
         timestamp="study",
-        pipeline=dataclasses.replace(base_cfg.pipeline, model=model),
+        pipeline=dataclasses.replace(pipeline, model=model),
     )
     if eval_only:
         run_dir = cfg.run_dir()
@@ -158,7 +178,8 @@ def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = Fals
         trainer.state.params, trainer.model_config, trainer.eval_cameras,
         trainer.eval_items, with_lpips=False,
     )
-    return dict(storage=storage, params=n_params, wall_s=wall, **metrics)
+    return dict(storage=storage, seed=seed, params=n_params, wall_s=wall,
+                **metrics)
 
 
 def main(argv=None) -> int:
@@ -170,22 +191,52 @@ def main(argv=None) -> int:
         "corner", "cell", "shared", "shared-rebalanced"])
     parser.add_argument("--eval-only", action="store_true",
                         help="re-evaluate existing study checkpoints")
+    parser.add_argument("--seeds", type=int, nargs="*", default=[42],
+                        help="one training run per seed per variant; the "
+                             "report shows mean and min-max spread")
+    parser.add_argument("--experts", type=int, default=0,
+                        help="override the fixture's num_aabbs (e.g. 16 to "
+                             "study the headline expert count)")
+    parser.add_argument("--batch", type=int, default=0,
+                        help="override train_num_rays_per_batch")
+    parser.add_argument("--hard-fixture", action="store_true",
+                        help="generate/use the harder synthetic fixture "
+                             "(4 scenes x 16 frames, larger images) under "
+                             "data/synthetic_hard")
     args = parser.parse_args(argv)
 
     from ..data.synthetic import generate_scene
 
-    root = Path("data/synthetic")
-    if not (root / "centroids").exists():
-        generate_scene(root)
+    data_dir = None
+    if args.hard_fixture:
+        root = Path("data/synthetic_hard")
+        if not (root / "centroids").exists():
+            generate_scene(
+                root,
+                scene_names=("scene-0001", "scene-0002", "scene-0003",
+                             "scene-0004"),
+                num_frames=16, height=60, width=104,
+            )
+        data_dir = root
+    else:
+        root = Path("data/synthetic")
+        if not (root / "centroids").exists():
+            generate_scene(root)
 
     rows = []
     for storage in args.variants:
-        print(f"=== training variant: {storage} ({args.iters} iters)", flush=True)
-        rows.append(run_variant(storage, args.iters, args.out_root, args.eval_only))
-        r = rows[-1]
-        print(f"    -> psnr={r['psnr']:.2f} ssim={r['ssim']:.3f} "
-              f"params={r['params']:,} wall={r['wall_s']:.0f}s", flush=True)
-        assert -1.0 <= r["ssim"] <= 1.0, "SSIM out of range - corrupted eval"
+        for seed in args.seeds:
+            print(f"=== training variant: {storage} seed {seed} "
+                  f"({args.iters} iters)", flush=True)
+            rows.append(run_variant(
+                storage, args.iters, args.out_root, args.eval_only,
+                seed=seed, experts=args.experts, batch=args.batch,
+                data_dir=data_dir,
+            ))
+            r = rows[-1]
+            print(f"    -> psnr={r['psnr']:.2f} ssim={r['ssim']:.3f} "
+                  f"params={r['params']:,} wall={r['wall_s']:.0f}s", flush=True)
+            assert -1.0 <= r["ssim"] <= 1.0, "SSIM out of range - corrupted eval"
 
 
     lines = [
@@ -202,9 +253,27 @@ def main(argv=None) -> int:
     ]
     for r in rows:
         lines.append(
-            f"| {r['storage']} | {r['params']:,} | {r['psnr']:.2f} | "
-            f"{r['ssim']:.3f} | {r['wall_s']:.0f}s |"
+            f"| {r['storage']} (s{r['seed']}) | {r['params']:,} | "
+            f"{r['psnr']:.2f} | {r['ssim']:.3f} | {r['wall_s']:.0f}s |"
         )
+    # Per-variant aggregate over seeds (mean and min-max spread) so
+    # adopt/reject deltas can be compared against seed noise.
+    by_variant = {}
+    for r in rows:
+        by_variant.setdefault(r["storage"], []).append(r)
+    if any(len(v) > 1 for v in by_variant.values()):
+        lines += ["", "| layout | seeds | PSNR mean (min-max) | SSIM mean (min-max) |",
+                  "|---|---|---|---|"]
+        import numpy as _np
+
+        for k, v in by_variant.items():
+            ps = _np.asarray([x["psnr"] for x in v])
+            ss = _np.asarray([x["ssim"] for x in v])
+            lines.append(
+                f"| {k} | {len(v)} | {ps.mean():.2f} "
+                f"({ps.min():.2f}-{ps.max():.2f}) | {ss.mean():.3f} "
+                f"({ss.min():.3f}-{ss.max():.3f}) |"
+            )
     lines += [
         "",
         "Variant definitions: corner = reference-exact iNGP rows; cell =",
