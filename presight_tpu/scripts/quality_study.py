@@ -74,6 +74,25 @@ def variant_model(base, storage: str):
                 for a in base.proposal_net_args_list
             ),
         )
+    if storage == "main-lean4":
+        # prop-lean + a GENTLER main rebalance than the rejected main-lean:
+        # levels x 2/3 with features x 1.5 (demo: 6x2 -> 4x3) — identical
+        # encoding width (12) and parameter count (4*T*8*3 == 6*T*8*2),
+        # 1/3 fewer main-table rows per sample. main-lean (2 levels) failed
+        # the SSIM gate; this probes whether 4 levels keep the multiscale
+        # ladder intact.
+        base2 = variant_model(base, "prop-lean")
+        return dataclasses.replace(
+            base2,
+            num_levels=(base.num_levels * 2) // 3,
+            features_per_level=(base.features_per_level * 3) // 2,
+        )
+    if storage == "grid-lean4":
+        # main-lean4 + the cached-density-grid round (the full round-3
+        # headline candidate).
+        return dataclasses.replace(
+            variant_model(base, "main-lean4"), prop_grid_res=64,
+        )
     if storage == "prop-grid":
         # prop-lean + the cached-density-grid first proposal round
         # (fields/prop_field.py prop_grid_density): round 1 reads a dense
