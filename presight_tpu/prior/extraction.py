@@ -370,7 +370,12 @@ def extract_voxels(
 
 
 def write_ply(points: np.ndarray, colors: np.ndarray, out_path: Path) -> None:
-    """ASCII PLY preview (extract_priors.py:248-269)."""
+    """ASCII PLY preview (extract_priors.py:248-269).
+
+    Note: the header declares ``property uint8`` to byte-match the
+    reference's own file (extract_priors.py:259-264). That type name is
+    nonstandard PLY ('uchar' is canonical) and strict parsers may reject
+    it — kept as-is because the file is a debug artifact and parity wins."""
     c = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
     with open(out_path, "w") as f:
         f.write(

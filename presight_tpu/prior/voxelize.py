@@ -118,12 +118,16 @@ class StreamingVoxelAccumulator:
         keys = voxel_keys(np.asarray(points, np.float64), self.voxel_size,
                           self.min_bound)
         u, inv = np.unique(keys, return_inverse=True)
+        # Resolve rows of already-known keys against the CURRENT index
+        # before any growth (growing rebuilds the sorted index).
         if len(self._sorted_keys) == 0:
             exists = np.zeros(len(u), bool)
+            rows_exist = np.zeros((0,), np.int64)
         else:
             pos = np.searchsorted(self._sorted_keys, u)
             pos_c = np.clip(pos, 0, len(self._sorted_keys) - 1)
             exists = self._sorted_keys[pos_c] == u
+            rows_exist = self._rows_of_sorted[pos_c[exists]]
         new_u = u[~exists]
         n_old = len(self._keys)
         if len(new_u):
@@ -145,8 +149,7 @@ class StreamingVoxelAccumulator:
             self._sorted_keys = self._keys[order]
             self._rows_of_sorted = order.astype(np.int64)
         row_of_u = np.empty(len(u), np.int64)
-        if np.any(exists):
-            row_of_u[exists] = self._rows_of_sorted[pos_c[exists]]
+        row_of_u[exists] = rows_exist
         if len(new_u):
             # Rows of the new keys: find them in the rebuilt sorted index.
             pos_new = np.searchsorted(self._sorted_keys, new_u)

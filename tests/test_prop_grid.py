@@ -54,7 +54,8 @@ def test_grid_trilerp_matches_field_on_corners():
     # (-1, 1) (identity region of contract_linf), world = aabb_min +
     # (norm + 1)/2 * extent.
     g = 8
-    ijs = np.array([[2, 3, 4], [3, 3, 3], [5, 2, 6], [4, 4, 2]], np.int64)
+    ijs = np.array([[3, 3, 3], [4, 4, 4], [3, 4, 5], [5, 5, 3], [4, 3, 4]],
+                   np.int64)
     unit = ijs.astype(np.float64) / g  # in (0, 1)
     norm = unit * 4.0 - 2.0  # [-2,2] cube
     # stay in the uncontracted region
@@ -154,7 +155,9 @@ def test_train_step_with_grid_runs_and_drops_round0_loss():
                   jnp.asarray(1.0), train=True, stop_prop_grad=True,
                   prop_grid=grid)
     assert len(out["weights_list"]) == 2
-    assert out["weights_list"][0].shape == (R, 12)  # fine prop round kept
+    # Round 0 (the 12-sample grid round) is dropped; what remains is the
+    # fine prop round (6 samples) and the final NeRF round (6 samples).
+    assert out["weights_list"][0].shape == (R, 6)
     assert out["weights_list"][1].shape == (R, 6)
 
     groups = {"proposal_networks": OptimizerGroupConfig(),
