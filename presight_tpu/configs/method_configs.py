@@ -173,10 +173,19 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         # ~28% of the step re-running MLPs/render in the backward (measured
         # on v5e at 8x8192-ray microbatches; PERFORMANCE.md round 2).
         remat=False,
-        # 2^15 rows x 64 floats = 8.4 MB per level slab (main field).
+        # 2^15 rows x 80 floats per level slab (main field); 4 levels x 10
+        # features — identical 40-wide encoding and parameter count as the
+        # previous 5x8 split, 20% fewer main-table rows and one fewer
+        # backward scatter (QUALITY.md round 3 'grid-lean4': matches
+        # prop-lean within seed noise at 16 experts).
         log2_hashmap_size=15,
-        num_levels=5,
-        features_per_level=8,
+        num_levels=4,
+        features_per_level=10,
+        # Cached-density-grid first proposal round (QUALITY.md round 3:
+        # matches prop-lean within seed noise at 16 experts): round 1 reads
+        # a per-expert 64^3 cell grid refreshed from the fine prop field —
+        # one gather/sample, no MLP, no backward.
+        prop_grid_res=64,
         proposal_net_args_list=(
             # 'prop-lean' (QUALITY.md): half the levels at double features —
             # same encoding width and params, half the proposal gathers.
