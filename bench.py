@@ -43,7 +43,26 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         piecewise_sampler_threshold=100.0 * pose_rescale,
         pose_scale_factor=pose_rescale,
     )
-    if storage == "grid-lean4":
+    if storage == "grid-lean4-s64":
+        # grid-lean4 + 64 first-round samples (QUALITY gate 'grid-s64'):
+        # the cached 64^3 grid's histogram is band-limited by the grid
+        # resolution, so 128 stratified samples oversample it; 64 halves
+        # the largest per-step row count.
+        config = NerfactoNuscMSConfig(
+            hash_storage="shared", prop_shared_mlp=True, remat=False,
+            log2_hashmap_size=15, num_levels=4,
+            features_per_level=10,
+            prop_grid_res=64,
+            num_proposal_samples_per_ray=(64, 64),
+            proposal_net_args_list=(
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
+                     base_res=16, max_res=1024),
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
+                     base_res=16, max_res=4096),
+            ),
+            **common,
+        )
+    elif storage == "grid-lean4":
         # grid-profile + the main-lean4 rebalance (QUALITY gate: quality
         # study 'grid-lean4' variant): 4 levels x 10 features — identical
         # 40-wide encoding and parameter count (4*2^15*80 == 5*2^15*64),
@@ -157,7 +176,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     steps = TrainStepPair(
         config, tx, split_update=True,
         microbatch_rays={"shared-profile": 16384, "grid-profile": 16384,
-                         "grid-lean4": 16384,
+                         "grid-lean4": 16384, "grid-lean4-s64": 16384,
                          "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)
@@ -265,14 +284,15 @@ def main():
     # rung is the reference-exact table layout, reported alongside.
     ladder = [
         # Headline at the reference's real batch size (65,536 rays/step).
+        ("grid-lean4-s64", 16, 15, 65536),
         ("grid-lean4", 16, 15, 65536),
-        ("grid-profile", 16, 15, 65536),
         ("corner", 8, 18, 4096),
     ]
     spreads = {}
     for storage, num_experts, log2, num_rays in ladder:
         try:
-            big = storage in ("grid-lean4", "grid-profile", "shared-profile")
+            big = storage in ("grid-lean4-s64", "grid-lean4", "grid-profile",
+                              "shared-profile")
             rays_per_sec, rates, step_time, loss = bench_config(
                 num_experts, log2, num_rays,
                 iters=12 if big else 6,

@@ -184,8 +184,13 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         # Cached-density-grid first proposal round (QUALITY.md round 3:
         # matches prop-lean within seed noise at 16 experts): round 1 reads
         # a per-expert 64^3 cell grid refreshed from the fine prop field —
-        # one gather/sample, no MLP, no backward.
+        # one gather/sample, no MLP, no backward. 64 first-round samples
+        # (QUALITY 'grid-s64'): the cached histogram is band-limited by the
+        # grid resolution, so the reference's 128 stratified samples
+        # oversample it — 64 halves the largest per-step row count at
+        # quality indistinguishable from 128 across 3 seeds.
         prop_grid_res=64,
+        num_proposal_samples_per_ray=(64, 64),
         proposal_net_args_list=(
             # 'prop-lean' (QUALITY.md): half the levels at double features —
             # same encoding width and params, half the proposal gathers.

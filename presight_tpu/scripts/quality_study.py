@@ -93,6 +93,19 @@ def variant_model(base, storage: str):
         return dataclasses.replace(
             variant_model(base, "main-lean4"), prop_grid_res=64,
         )
+    if storage in ("grid-s96", "grid-s64"):
+        # grid-lean4 + fewer FIRST-round samples. With the cached 64^3
+        # density grid the round-1 histogram is band-limited by the grid
+        # resolution — 128 stratified samples oversample it. 96/64 samples
+        # cut the biggest per-step row count (the reference's 128 is a
+        # CUDA-tuned choice, not a physical one); gated here.
+        n1 = 96 if storage == "grid-s96" else 64
+        base4 = variant_model(base, "grid-lean4")
+        return dataclasses.replace(
+            base4,
+            num_proposal_samples_per_ray=(
+                n1, base.num_proposal_samples_per_ray[1]),
+        )
     if storage == "prop-grid":
         # prop-lean + the cached-density-grid first proposal round
         # (fields/prop_field.py prop_grid_density): round 1 reads a dense
