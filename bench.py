@@ -175,8 +175,12 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
     state = init_train_state(params, tx)
     steps = TrainStepPair(
         config, tx, split_update=True,
+        # 1024 measured fastest for the round-3 headline — the lighter
+        # grid-s64 shapes moved the optimum far below round-2's 16384
+        # (sweep: 16384 -> 55.7k, 4096 -> 57.9k, 1024 -> 71.8k, 256 ->
+        # 56.9k rays/s; PERFORMANCE.md).
         microbatch_rays={"shared-profile": 16384, "grid-profile": 16384,
-                         "grid-lean4": 16384, "grid-lean4-s64": 16384,
+                         "grid-lean4": 16384, "grid-lean4-s64": 1024,
                          "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)

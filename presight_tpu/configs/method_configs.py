@@ -205,7 +205,9 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         cfg,
         experiment_name=cfg.experiment_name + "-tpu",
         method_name=cfg.method_name + "-tpu",
-        microbatch_rays=16384,
+        # 1024 measured fastest at the round-3 profile shapes
+        # (PERFORMANCE.md microbatch sweep: 71.8k vs 55.7k at 16384).
+        microbatch_rays=1024,
         pipeline=dataclasses.replace(cfg.pipeline, model=model),
     )
 
