@@ -84,6 +84,14 @@ def main(argv=None) -> int:
     parser.add_argument("--data-dir", type=Path, default=None)
     parser.add_argument("--out", type=Path, default=Path("outputs/occ"))
     parser.add_argument("--temporal", action="store_true")
+    parser.add_argument("--backbone", choices=["simple", "resnet"],
+                        default="simple",
+                        help="'resnet' runs the reference topology "
+                             "(ResNet + CustomFPN; width via "
+                             "--resnet-base-width)")
+    parser.add_argument("--resnet-base-width", type=int, default=8)
+    parser.add_argument("--bev-neck", choices=["simple", "lssfpn3d"],
+                        default="simple")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -99,6 +107,8 @@ def main(argv=None) -> int:
         view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
         bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
         num_classes=18, temporal=args.temporal,
+        backbone=args.backbone, resnet_base_width=args.resnet_base_width,
+        bev_neck=args.bev_neck,
     )
 
     batches = (load_batches(args.data_dir) if args.data_dir

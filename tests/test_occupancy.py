@@ -409,11 +409,12 @@ def test_resnet50_fpn_reference_topology():
     ]
 
     fpn = CustomFPN(out_channels=256, out_ids=(0,))
+    # ShapeDtypeStructs must enter eval_shape as ARGUMENTS (they become
+    # tracers); closure-captured structs hit jnp.asarray and TypeError.
+    fpn_vars = jax.eval_shape(
+        lambda f: fpn.init(jax.random.PRNGKey(0), list(f)), tuple(shapes[1:]))
     out = jax.eval_shape(
-        lambda v, f: fpn.apply(v, f),
-        jax.eval_shape(lambda: fpn.init(jax.random.PRNGKey(0), shapes[1:])),
-        shapes[1:],
-    )
+        lambda v, f: fpn.apply(v, list(f)), fpn_vars, tuple(shapes[1:]))
     assert tuple(out.shape) == (1, 16, 44, 256)
 
     # Trunk parameter count ~ torchvision resnet50 minus fc (25.6M - 2.1M).
