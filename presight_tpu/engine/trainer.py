@@ -387,10 +387,7 @@ class Trainer:
         losses = self._eval_loss_fn(self.state.params, self.eval_cameras,
                                     batch, sub, scalars, self._prop_grid)
         host = {f"eval_{k}": float(v) for k, v in losses.items()}
-        self.writer.put_dict(host, step)
-        print(f"eval batch @ step {step}: "
-              + " ".join(f"{k}={v:.4f}" for k, v in sorted(host.items())),
-              flush=True)
+        self.writer.announce("eval batch", host, step)
 
     def _eval_image(self, step: int) -> None:
         """Render one eval image and log PSNR/SSIM (trainer.py:513-547 /
@@ -408,9 +405,8 @@ class Trainer:
         gt = item.load_image()
         metrics = image_metrics(outputs["rgb"], gt,
                                 with_lpips=self.config.eval_lpips)
-        self.writer.put_dict({f"eval_{k}": v for k, v in metrics.items()}, step)
-        print(f"eval image {idx} @ step {step}: psnr={metrics['psnr']:.2f} "
-              f"ssim={metrics['ssim']:.3f}", flush=True)
+        self.writer.announce(f"eval image {idx}",
+                             {f"eval_{k}": v for k, v in metrics.items()}, step)
 
 
 def eval_setup(config_path: Path) -> Tuple[TrainerConfig, "Trainer"]:

@@ -100,6 +100,15 @@ class Writer:
         for k, v in scalars.items():
             self.put_scalar(k, v, step)
 
+    def announce(self, prefix: str, scalars: Dict[str, float], step: int) -> None:
+        """put_dict + one console line — eval events route through the
+        writer (backends + console) rather than raw prints in the trainer."""
+        self.put_dict(scalars, step)
+        msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(scalars.items()))
+        print(f"{prefix} @ step {step}: {msg}", flush=True)
+        if self._jsonl is not None:
+            self._jsonl.flush()
+
     def log_step(self, step: int, metrics: Dict[str, float], num_rays: int,
                  iter_time: float, max_steps: int, num_devices: int = 1) -> None:
         self._times.append(iter_time)

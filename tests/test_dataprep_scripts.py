@@ -274,3 +274,69 @@ def test_segmentation_extraction_runs_with_random_weights(fake_nusc, tmp_path):
     seg = np.load(npz[0])["arr_0"]
     assert seg.dtype == np.uint8
     assert seg.max() < 19
+
+
+def test_segformer_jnp_parity_vs_torch(tmp_path):
+    """The pure-jnp SegFormer (C10) matches transformers' torch model
+    bit-tight on random weights: full 4-stage MiT encoder (all sr ratios,
+    multi-head, Mix-FFN depthwise) + all-MLP decode head."""
+    pytest.importorskip("transformers")
+    import torch
+    from transformers import SegformerConfig, SegformerForSemanticSegmentation
+
+    from presight_tpu.scripts.segformer_jnp import (
+        convert_segformer_weights, load_segformer_snapshot, segformer_logits)
+
+    cfg = SegformerConfig(
+        num_channels=3, num_encoder_blocks=4, depths=[1, 1, 2, 1],
+        sr_ratios=[8, 4, 2, 1], hidden_sizes=[8, 16, 24, 32],
+        num_attention_heads=[1, 2, 4, 8], decoder_hidden_size=16,
+        num_labels=19,
+    )
+    model = SegformerForSemanticSegmentation(cfg).eval()
+    wdir = tmp_path / "segformer-parity"
+    model.save_pretrained(wdir)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.logits.numpy().transpose(0, 2, 3, 1)
+
+    config, sd = load_segformer_snapshot(wdir)
+    params = convert_segformer_weights(config, sd)
+    out = np.asarray(segformer_logits(params, x))
+
+    assert out.shape == ref.shape
+    scale = max(1.0, float(np.abs(ref).max()))
+    assert np.abs(out - ref).max() < 1e-3 * scale
+
+
+def test_segmentation_extraction_torch_impl(fake_nusc, tmp_path):
+    """--impl torch keeps the transformers-CPU fallback working."""
+    pytest.importorskip("transformers")
+    root, _ = fake_nusc
+    from transformers import (SegformerConfig, SegformerForSemanticSegmentation,
+                              SegformerImageProcessor)
+
+    cfg = SegformerConfig(
+        num_channels=3, num_encoder_blocks=2, depths=[1, 1],
+        sr_ratios=[4, 2], hidden_sizes=[8, 16], num_attention_heads=[1, 2],
+        decoder_hidden_size=16, num_labels=19,
+    )
+    wdir = tmp_path / "segformer-random"
+    SegformerForSemanticSegmentation(cfg).save_pretrained(wdir)
+    SegformerImageProcessor(size={"height": 32, "width": 64}).save_pretrained(wdir)
+
+    from presight_tpu.scripts import extract_segmentation as S
+
+    data_dir = tmp_path / "data"
+    (data_dir / "samples").mkdir(parents=True)
+    for i, src in enumerate(sorted((root / "samples" / "CAM_FRONT").glob("*.jpg"))):
+        (data_dir / "samples" / f"img{i}.jpg").write_bytes(src.read_bytes())
+
+    rc = S.main(["--data-dir", str(data_dir), "--weights", str(wdir),
+                 "--batch-size", "2", "--impl", "torch"])
+    assert rc == 0
+    npz = sorted((data_dir / "segmentation").glob("img*.npz"))
+    assert npz and np.load(npz[0])["arr_0"].dtype == np.uint8
