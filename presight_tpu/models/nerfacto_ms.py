@@ -437,10 +437,20 @@ def forward(
         density_p, geo_p, sem_p = density_and_embedding_padded(
             field_params, fcfg, pos_p, routing
         )
+        # One fused per-ray gather: scatter/gather cost is per-ROW and
+        # width-independent up to >=256 B (PERFORMANCE.md primitive table),
+        # so gathering [directions | appearance] as one (R, 3+A) array
+        # halves the n_pad-row gather passes vs two separate gathers.
+        if app is None:
+            dirs_p = ray_directions[ray_of_slot]
+            app_p = None
+        else:
+            ray_inputs = jnp.concatenate([ray_directions, app], axis=-1)
+            inputs_p = ray_inputs[ray_of_slot]
+            dirs_p = inputs_p[:, :3]
+            app_p = inputs_p[:, 3:]
         rgb_p = rgb_padded(
-            field_params, fcfg,
-            ray_directions[ray_of_slot], geo_p,
-            None if app is None else app[ray_of_slot], routing,
+            field_params, fcfg, dirs_p, geo_p, app_p, routing,
         )
         density = unpad_rows(density_p, routing).reshape(num_rays, num_samples)
         weights = get_weights(deltas, density)
@@ -448,16 +458,23 @@ def forward(
         # (scatter-add into an (R, C) buffer, well inside XLA's fast
         # regime) — skips the (R*S, C) unpad gathers and the (R, S, C)
         # materializations for both heads. Padding slots carry zero weight.
+        # rgb and semantics render through ONE segment-sum over a fused
+        # (n_pad, 3+64) payload (same per-row wall as 3-wide): per-channel
+        # sums are bitwise identical to separate renders, but the second
+        # scatter pass and its backward dual gather disappear.
         w_slot = pad_rows(weights.reshape(-1), routing)
-        rgb = jax.ops.segment_sum(
-            rgb_p * w_slot[:, None], ray_of_slot, num_segments=num_rays
-        )
         semantics = None
         if fcfg.use_semantics:
             sem_feats_p = semantics_padded(field_params, fcfg, sem_p, routing)
-            semantics = jax.ops.segment_sum(
-                sem_feats_p * w_slot[:, None], ray_of_slot,
-                num_segments=num_rays,
+            fused = jax.ops.segment_sum(
+                jnp.concatenate([rgb_p, sem_feats_p], axis=-1) * w_slot[:, None],
+                ray_of_slot, num_segments=num_rays,
+            )
+            rgb = fused[:, :3]
+            semantics = fused[:, 3:]
+        else:
+            rgb = jax.ops.segment_sum(
+                rgb_p * w_slot[:, None], ray_of_slot, num_segments=num_rays
             )
         return weights, rgb, semantics
 

@@ -288,7 +288,7 @@ def test_streaming_accumulator_memory_is_voxel_bounded():
     """)
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd="/root/repo", timeout=600,
+        cwd="/root/repo", timeout=1200,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "OK peak_rss_mb=" in proc.stdout
