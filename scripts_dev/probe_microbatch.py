@@ -7,7 +7,7 @@ _setup_jax()
 import jax, jax.numpy as jnp
 import bench
 
-for micro in (1024,):
+for micro in (512, 768, 1024, 1536, 2048):
     # monkeypatch the microbatch map
     import presight_tpu.engine.train_step as ts_mod
     orig_build = bench.build

@@ -20,6 +20,7 @@ BASE = NerfactoNuscMSConfig(
     hash_storage="shared", prop_shared_mlp=True, remat=False,
     log2_hashmap_size=15, num_levels=4, features_per_level=10,
     prop_grid_res=64,
+    num_proposal_samples_per_ray=(64, 64),
     proposal_net_args_list=(
         dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
              base_res=16, max_res=1024),
@@ -48,7 +49,7 @@ def run(tag, config, iters=12):
     groups = {"proposal_networks": OptimizerGroupConfig(), "fields": OptimizerGroupConfig()}
     tx = make_optimizer(groups, param_groups(params))
     state = init_train_state(params, tx)
-    steps = TrainStepPair(config, tx, split_update=True, microbatch_rays=16384)
+    steps = TrainStepPair(config, tx, split_update=True, microbatch_rays=1024)
     sched = ProposalUpdateSchedule(config)
     grid = make_prop_grid(params, config) if config.use_prop_grid else None
     i_state = {"i": 1000}
@@ -93,8 +94,8 @@ probes = {
     "base": BASE,
     "levels2": dataclasses.replace(BASE, num_levels=2, features_per_level=20),
     "nerf32": dataclasses.replace(BASE, num_nerf_samples_per_ray=32),
-    "prop2-32": dataclasses.replace(BASE, num_proposal_samples_per_ray=(128, 32)),
-    "grid-64": dataclasses.replace(BASE, num_proposal_samples_per_ray=(64, 64)),
+    "prop2-32": dataclasses.replace(BASE, num_proposal_samples_per_ray=(64, 32)),
+    "grid-32": dataclasses.replace(BASE, num_proposal_samples_per_ray=(32, 64)),
     "no-zaa": dataclasses.replace(BASE, enable_z_anti_aliasing=False),
     "no-sem": dataclasses.replace(BASE, use_semantics=False),
     "no-sky": dataclasses.replace(BASE, use_sky_model=False),
