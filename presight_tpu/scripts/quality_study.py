@@ -106,6 +106,25 @@ def variant_model(base, storage: str):
             num_proposal_samples_per_ray=(
                 n1, base.num_proposal_samples_per_ray[1]),
         )
+    if storage == "grid-s64-n48":
+        # grid-s64 + FINAL samples 64 -> 48. Unlike the band-limited grid
+        # round, this changes the rendering quadrature itself, so the gate
+        # carries real risk: 77% of the fused step scales with final
+        # samples (PERFORMANCE.md round-3 probes), so a pass is worth
+        # +24% throughput. Adopt ONLY within seed noise on PSNR and SSIM.
+        return dataclasses.replace(
+            variant_model(base, "grid-s64"), num_nerf_samples_per_ray=48,
+        )
+    if storage == "grid-s64-cap4x":
+        # grid-s64 with 4x the shared table rows (log2 +2). NOT matched
+        # params — this is the capacity direction: the cap16 probe measured
+        # it FREE at the fused profile (846 vs 852 ms/step), so if quality
+        # is >= grid-s64 it directly buys down QUALITY.md's tile-scale
+        # capacity caveat at zero cost.
+        v = variant_model(base, "grid-s64")
+        return dataclasses.replace(
+            v, log2_hashmap_size=v.log2_hashmap_size + 2,
+        )
     if storage == "prop-grid":
         # prop-lean + the cached-density-grid first proposal round
         # (fields/prop_field.py prop_grid_density): round 1 reads a dense

@@ -99,6 +99,10 @@ probes = {
     "no-zaa": dataclasses.replace(BASE, enable_z_anti_aliasing=False),
     "no-sem": dataclasses.replace(BASE, use_semantics=False),
     "no-sky": dataclasses.replace(BASE, use_sky_model=False),
+    "nerf48": dataclasses.replace(BASE, num_nerf_samples_per_ray=48),
+    "nerf56": dataclasses.replace(BASE, num_nerf_samples_per_ray=56),
+    "cap16": dataclasses.replace(BASE, log2_hashmap_size=16),
+    "cap17": dataclasses.replace(BASE, log2_hashmap_size=17),
 }
 for tag, cfg in probes.items():
     if which != "all" and tag != which:
