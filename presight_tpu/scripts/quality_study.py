@@ -125,6 +125,15 @@ def variant_model(base, storage: str):
         return dataclasses.replace(
             v, log2_hashmap_size=v.log2_hashmap_size + 2,
         )
+    if storage == "grid-s64-n48-cap4x":
+        # The combined round-3c candidate profile: both axes passed their
+        # individual gates (n48: 14.29/0.756 vs grid-s64's 14.28/0.753;
+        # cap4x: 14.26/0.754) — this confirms they compose before the
+        # -tpu profile ships both.
+        v = variant_model(base, "grid-s64-n48")
+        return dataclasses.replace(
+            v, log2_hashmap_size=v.log2_hashmap_size + 2,
+        )
     if storage == "prop-grid":
         # prop-lean + the cached-density-grid first proposal round
         # (fields/prop_field.py prop_grid_density): round 1 reads a dense
