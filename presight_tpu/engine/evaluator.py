@@ -96,16 +96,36 @@ def image_metrics(pred_rgb: np.ndarray, gt_rgb: np.ndarray,
 
 
 def evaluate_images(params, config: NerfactoNuscMSConfig, cameras: CameraParams,
-                    items, indices=None, with_lpips: bool = True) -> Dict[str, float]:
-    """Mean metrics over eval images (my_pipeline.py:219-269)."""
+                    items, indices=None, with_lpips: bool = True,
+                    with_depth: bool = False) -> Dict[str, float]:
+    """Mean metrics over eval images (my_pipeline.py:219-269).
+
+    with_depth adds depth_rmse (meters) over pixels with valid GT depth
+    (>0, < the config's depth upperbound) against the rendered expected
+    depth rescaled out of pose-normalized units. Depth error is far more
+    sensitive to sample-count/quadrature changes than PSNR/SSIM, so the
+    quality study uses it as a third gate axis.
+    """
     renderer = ImageRenderer(config)
     if indices is None:
         indices = range(len(items))
     all_metrics: List[Dict[str, float]] = []
+    upper = (config.lidar_depth_upperbound if config.use_lidar_loss
+             else config.monodepth_depth_upperbound)
     for i in indices:
         item = items[i]
         outputs = renderer.render(params, cameras, i, item.H, item.W)
         gt = item.load_image()
-        all_metrics.append(image_metrics(outputs["rgb"], gt, with_lpips))
-    keys = all_metrics[0].keys()
-    return {k: float(np.mean([m[k] for m in all_metrics])) for k in keys}
+        m = image_metrics(outputs["rgb"], gt, with_lpips)
+        if with_depth and item.depth_path is not None:
+            gt_d = item.load_depth()
+            pred_d = outputs["expected_depth"].reshape(gt_d.shape)
+            pred_d = pred_d / config.pose_scale_factor
+            mask = (gt_d > 0) & (gt_d < upper)
+            if mask.any():
+                m["depth_rmse"] = float(
+                    np.sqrt(np.mean((pred_d[mask] - gt_d[mask]) ** 2)))
+        all_metrics.append(m)
+    keys = {k for m in all_metrics for k in m}
+    return {k: float(np.mean([m[k] for m in all_metrics if k in m]))
+            for k in keys}

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import re
 import time
 from pathlib import Path
 
@@ -106,15 +107,40 @@ def variant_model(base, storage: str):
             num_proposal_samples_per_ray=(
                 n1, base.num_proposal_samples_per_ray[1]),
         )
-    if storage == "grid-s64-n48":
-        # grid-s64 + FINAL samples 64 -> 48. Unlike the band-limited grid
-        # round, this changes the rendering quadrature itself, so the gate
-        # carries real risk: 77% of the fused step scales with final
-        # samples (PERFORMANCE.md round-3 probes), so a pass is worth
-        # +24% throughput. Adopt ONLY within seed noise on PSNR and SSIM.
+    m = re.fullmatch(r"grid-r(\d+)", storage)
+    if m:
+        # grid-s64 with the FIRST-round count set to r — sensitivity
+        # control for the round-1 axis (r12 should measurably degrade if
+        # the fixture can detect round-1 undersampling at all; the
+        # adopted 64 sits far above it).
         return dataclasses.replace(
-            variant_model(base, "grid-s64"), num_nerf_samples_per_ray=48,
+            variant_model(base, "grid-lean4"),
+            num_proposal_samples_per_ray=(
+                int(m.group(1)), base.num_proposal_samples_per_ray[1]),
         )
+    m = re.fullmatch(r"grid-s64-n(\d+)(-cap4x)?", storage)
+    if m:
+        # grid-s64 with FINAL sample count set ABSOLUTELY to n (the demo
+        # base renders with 24). This is the final-quadrature sweep: the
+        # headline profile renders with 64 final samples and ~77% of the
+        # fused step scales with that count (PERFORMANCE.md round-3
+        # probes), so a reduction is the biggest remaining perf lever —
+        # but it changes the rendering quadrature itself. The gate
+        # therefore runs the headline count (n64) as the baseline arm,
+        # candidate cuts (n48, n32) against it, and a deliberately-broken
+        # control (n12) that must degrade measurably for the fixture to
+        # have any power on this axis. PSNR, SSIM, AND depth_rmse all
+        # gate (depth error is the most quadrature-sensitive metric).
+        # -cap4x adds 4x shared table rows (log2 +2, measured free at the
+        # fused profile) for the capacity-axis composition check.
+        v = dataclasses.replace(
+            variant_model(base, "grid-s64"),
+            num_nerf_samples_per_ray=int(m.group(1)),
+        )
+        if m.group(2):
+            v = dataclasses.replace(
+                v, log2_hashmap_size=v.log2_hashmap_size + 2)
+        return v
     if storage == "grid-s64-cap4x":
         # grid-s64 with 4x the shared table rows (log2 +2). NOT matched
         # params — this is the capacity direction: the cap16 probe measured
@@ -122,15 +148,6 @@ def variant_model(base, storage: str):
         # is >= grid-s64 it directly buys down QUALITY.md's tile-scale
         # capacity caveat at zero cost.
         v = variant_model(base, "grid-s64")
-        return dataclasses.replace(
-            v, log2_hashmap_size=v.log2_hashmap_size + 2,
-        )
-    if storage == "grid-s64-n48-cap4x":
-        # The combined round-3c candidate profile: both axes passed their
-        # individual gates (n48: 14.29/0.756 vs grid-s64's 14.28/0.753;
-        # cap4x: 14.26/0.754) — this confirms they compose before the
-        # -tpu profile ships both.
-        v = variant_model(base, "grid-s64-n48")
         return dataclasses.replace(
             v, log2_hashmap_size=v.log2_hashmap_size + 2,
         )
@@ -236,7 +253,7 @@ def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = Fals
     n_params = param_count(trainer.state.params)
     metrics = evaluate_images(
         trainer.state.params, trainer.model_config, trainer.eval_cameras,
-        trainer.eval_items, with_lpips=False,
+        trainer.eval_items, with_lpips=False, with_depth=True,
     )
     return dict(storage=storage, seed=seed, params=n_params, wall_s=wall,
                 **metrics)
@@ -312,9 +329,10 @@ def main(argv=None) -> int:
         "|---|---|---|---|---|",
     ]
     for r in rows:
+        wall = "—" if r["wall_s"] != r["wall_s"] else f"{r['wall_s']:.0f}s"
         lines.append(
             f"| {r['storage']} (s{r['seed']}) | {r['params']:,} | "
-            f"{r['psnr']:.2f} | {r['ssim']:.3f} | {r['wall_s']:.0f}s |"
+            f"{r['psnr']:.2f} | {r['ssim']:.3f} | {wall} |"
         )
     # Per-variant aggregate over seeds (mean and min-max spread) so
     # adopt/reject deltas can be compared against seed noise.

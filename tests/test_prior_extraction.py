@@ -260,35 +260,63 @@ def test_streaming_accumulator_memory_is_voxel_bounded():
     retained as f64 triples, 1.1 GB with colors/features) into a small voxel
     set in a subprocess and bound its peak RSS well below the retained-points
     footprint (VERDICT r2 task 3 done-criterion)."""
+    import os
     import subprocess
     import sys
+    import sysconfig
     import textwrap
 
     code = textwrap.dedent("""
         import resource
         import numpy as np
+        from presight_tpu import native
         from presight_tpu.prior.voxelize import make_streaming_accumulator
+
+        def rss_mb():
+            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
         rng = np.random.RandomState(0)
         min_bound = np.array([-9.0, -9.0, -9.0])
         acc = make_streaming_accumulator(0.4, min_bound, feature_dim=8)
         n_batches, batch = 40, 500_000   # 20M points total
+        base_mb = None
         for i in range(n_batches):
             pts = rng.rand(batch, 3) * 16 - 8   # ~64k voxels at 0.4m
             cols = rng.rand(batch, 3).astype(np.float32)
             feats = rng.rand(batch, 8).astype(np.float32)
             acc.add(pts, cols, feats)
+            if base_mb is None:
+                base_mb = rss_mb()  # after one full batch: imports + one
+                # batch of transient conversions + the voxel table
         out = acc.finalize()
         assert len(out["points"]) > 10_000
-        peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-        # numpy+jax import baseline is ~350 MB; one 500k-point batch is
-        # ~28 MB. Retaining all 20M points would add >1100 MB.
-        assert peak_mb < 800, f"peak RSS {peak_mb:.0f} MB suggests O(points) retention"
-        print(f"OK peak_rss_mb={peak_mb:.0f} voxels={len(out['points'])}")
+        peak_mb = rss_mb()
+        # Growth across the remaining 39 batches is the O(points) signal:
+        # retaining 19.5M more points (f64 pts + colors + features) would
+        # add >1100 MB; O(voxels) growth is ~0 (the table is complete
+        # after batch one — random points over a fixed box).
+        grow_mb = peak_mb - base_mb
+        assert grow_mb < 400, (
+            f"RSS grew {grow_mb:.0f} MB across batches (base {base_mb:.0f},"
+            f" peak {peak_mb:.0f}, native={native.available()}) —"
+            " suggests O(points) retention"
+        )
+        print(f"OK base_mb={base_mb:.0f} peak_rss_mb={peak_mb:.0f} "
+              f"voxels={len(out['points'])} native={native.available()}")
     """)
+    # Hermetic child: -S skips sitecustomize (which pre-imports jax and
+    # registers the axon TPU client — hundreds of MB of baseline RSS that
+    # fluctuates with tunnel state and once pushed the old absolute-cap
+    # assertion to 6 GB under a concurrently busy chip). The accumulator
+    # path is numpy+ctypes only, so the child needs just site-packages
+    # and the repo on PYTHONPATH.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        sysconfig.get_paths()["purelib"] + os.pathsep + "/root/repo"
+    )
     proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd="/root/repo", timeout=1200,
+        [sys.executable, "-S", "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", timeout=1200, env=env,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "OK peak_rss_mb=" in proc.stdout
+    assert "OK " in proc.stdout
