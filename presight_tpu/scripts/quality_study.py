@@ -312,6 +312,7 @@ def main(argv=None) -> int:
             ))
             r = rows[-1]
             print(f"    -> psnr={r['psnr']:.2f} ssim={r['ssim']:.3f} "
+                  f"depth_rmse={r.get('depth_rmse', float('nan')):.3f} "
                   f"params={r['params']:,} wall={r['wall_s']:.0f}s", flush=True)
             assert -1.0 <= r["ssim"] <= 1.0, "SSIM out of range - corrupted eval"
 
@@ -325,14 +326,15 @@ def main(argv=None) -> int:
         "the TPU-first layouts must match the reference-exact corner",
         "layout's quality before they may be the bench headline.",
         "",
-        "| layout | params | eval PSNR | eval SSIM | train wall |",
-        "|---|---|---|---|---|",
+        "| layout | params | eval PSNR | eval SSIM | depth RMSE (m) | train wall |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         wall = "—" if r["wall_s"] != r["wall_s"] else f"{r['wall_s']:.0f}s"
+        dr = f"{r['depth_rmse']:.3f}" if "depth_rmse" in r else "—"
         lines.append(
             f"| {r['storage']} (s{r['seed']}) | {r['params']:,} | "
-            f"{r['psnr']:.2f} | {r['ssim']:.3f} | {wall} |"
+            f"{r['psnr']:.2f} | {r['ssim']:.3f} | {dr} | {wall} |"
         )
     # Per-variant aggregate over seeds (mean and min-max spread) so
     # adopt/reject deltas can be compared against seed noise.
@@ -340,17 +342,22 @@ def main(argv=None) -> int:
     for r in rows:
         by_variant.setdefault(r["storage"], []).append(r)
     if any(len(v) > 1 for v in by_variant.values()):
-        lines += ["", "| layout | seeds | PSNR mean (min-max) | SSIM mean (min-max) |",
-                  "|---|---|---|---|"]
+        lines += ["", "| layout | seeds | PSNR mean (min-max) | "
+                  "SSIM mean (min-max) | depth RMSE mean (min-max) |",
+                  "|---|---|---|---|---|"]
         import numpy as _np
 
         for k, v in by_variant.items():
             ps = _np.asarray([x["psnr"] for x in v])
             ss = _np.asarray([x["ssim"] for x in v])
+            ds = _np.asarray([x["depth_rmse"] for x in v
+                              if "depth_rmse" in x])
+            d = (f"{ds.mean():.3f} ({ds.min():.3f}-{ds.max():.3f})"
+                 if len(ds) else "—")
             lines.append(
                 f"| {k} | {len(v)} | {ps.mean():.2f} "
                 f"({ps.min():.2f}-{ps.max():.2f}) | {ss.mean():.3f} "
-                f"({ss.min():.3f}-{ss.max():.3f}) |"
+                f"({ss.min():.3f}-{ss.max():.3f}) | {d} |"
             )
     lines += [
         "",

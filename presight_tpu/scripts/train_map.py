@@ -61,6 +61,11 @@ def main(argv=None) -> int:
     parser.add_argument("--data-dir", type=Path, default=None)
     parser.add_argument("--out", type=Path, default=Path("outputs/map"))
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-ckpt", type=Path, default=None,
+                        help="evaluate a saved map-step-*.pkl instead of "
+                             "training (the tools/dist_test.sh analog): "
+                             "streaming forward over every clip, then "
+                             "chamfer-AP (mapping/vector_eval.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -82,6 +87,50 @@ def main(argv=None) -> int:
             raise SystemExit(f"no .npz samples under {args.data_dir}")
     else:
         clips = [toy_clip(args.seed + i) for i in range(4)]
+
+    if args.eval_ckpt is not None:
+        from ..mapping.map_head import select_topk_for_propagation
+        from ..mapping.vector_eval import VectorEvaluate
+
+        with open(args.eval_ckpt, "rb") as f:
+            variables = pickle.load(f)["params"]
+
+        fwd_eval = jax.jit(lambda v, imgs, l2i, pb, p2c, pq, pr: model.apply(
+            v, imgs, l2i, prev_bev=pb, prev2curr=p2c, prev_queries=pq,
+            prev_ref_pts=pr, train=False))
+
+        gts, results = {}, {}
+        for ci, clip in enumerate(clips):
+            prev_bev = prev_queries = prev_refs = None
+            for fi, frame in enumerate(clip):
+                token = f"clip{ci}-f{fi}"
+                out = fwd_eval(variables, frame["imgs"], frame["lidar2img"],
+                               prev_bev, frame["prev2curr"], prev_queries,
+                               prev_refs)
+                prev_bev = out["bev"]
+                prev_queries, prev_refs = select_topk_for_propagation(
+                    out, model.topk_propagate)
+                # Per-query foreground probability with the background slot
+                # appended, the same padding the loss applies.
+                prob = jax.nn.softmax(
+                    jnp.pad(out["scores"], ((0, 0), (0, 1))), axis=-1,
+                )[:, :-1]
+                labels = np.asarray(jnp.argmax(prob, axis=-1))
+                scores = np.asarray(jnp.max(prob, axis=-1))
+                lines = np.asarray(out["lines"])
+                results[token] = {"vectors": list(lines),
+                                  "scores": list(scores),
+                                  "labels": list(labels)}
+                gt_lines = np.asarray(frame["gt_lines"])
+                gt_labels = np.asarray(frame["gt_labels"])
+                per_cls = {c: [] for c in range(int(model.num_classes))}
+                for g, lab in zip(gt_lines, gt_labels):
+                    per_cls[int(lab)].append(g)
+                gts[token] = per_cls
+        out = VectorEvaluate(gts).evaluate(results)
+        for k, v in sorted(out.items()):
+            print(f"{k}: {v:.4f}")
+        return 0
 
     f0 = clips[0][0]
     # init with the streaming branch active so the ConvGRU / query-

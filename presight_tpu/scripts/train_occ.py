@@ -93,6 +93,15 @@ def main(argv=None) -> int:
     parser.add_argument("--bev-neck", choices=["simple", "lssfpn3d"],
                         default="simple")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-ckpt", type=Path, default=None,
+                        help="evaluate a saved occ-step-*.pkl instead of "
+                             "training (the tools/dist_test.sh analog): "
+                             "forward every batch, report per-class IoU + "
+                             "mIoU (utils/occ_metrics.MetricMIoU)")
+    parser.add_argument("--eval-params", choices=["ema", "raw"],
+                        default="ema",
+                        help="which weights to evaluate; the reference's "
+                             "dist_test evaluates the EMA checkpoint")
     args = parser.parse_args(argv)
 
     import jax
@@ -116,6 +125,38 @@ def main(argv=None) -> int:
     b0 = batches[0]
     model_args = (b0["imgs"], b0["sensor2ego"], b0["cam2imgs"],
                   b0["post_rots"], b0["post_trans"], b0["bda"])
+
+    if args.eval_ckpt is not None:
+        from ..utils.occ_metrics import MetricMIoU
+
+        with open(args.eval_ckpt, "rb") as f:
+            ckpt = pickle.load(f)
+        variables = ckpt["ema"] if args.eval_params == "ema" else ckpt["params"]
+
+        @jax.jit
+        def forward(batch):
+            occ, _depth = model.apply(
+                variables, batch["imgs"], batch["sensor2ego"],
+                batch["cam2imgs"], batch["post_rots"], batch["post_trans"],
+                batch["bda"], train=False,
+            )
+            return jnp.argmax(occ, axis=-1)
+
+        metric = MetricMIoU(num_classes=model.num_classes,
+                            use_image_mask=any("mask_camera" in b
+                                               for b in batches))
+        for b in batches:
+            metric.add_batch(np.asarray(forward(b)),
+                             np.asarray(b["voxel_semantics"]),
+                             mask_camera=(np.asarray(b["mask_camera"])
+                                          if "mask_camera" in b else None))
+        iou = metric.per_class_iou()
+        for c, v in enumerate(iou):
+            print(f"class {c:2d} IoU {v:.4f}")
+        print(f"mIoU (excl. free): {metric.miou():.4f} over "
+              f"{len(batches)} batches ({args.eval_params} weights)")
+        return 0
+
     variables = model.init(jax.random.PRNGKey(args.seed), *model_args)
 
     # AdamW + global-norm clipping, the reference's optimizer_config.

@@ -222,6 +222,10 @@ def test_train_map_cli(tmp_path):
     with open(ckpt, "rb") as f:
         d = pickle.load(f)
     assert "params" in d
+    # dist_test.sh analog: eval-from-checkpoint runs the streaming forward
+    # over the clips and reports chamfer-AP.
+    assert main(["--iters", "2", "--out", str(tmp_path),
+                 "--eval-ckpt", str(ckpt)]) == 0
 
 
 def test_raster_evaluate_iou():

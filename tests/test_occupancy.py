@@ -355,6 +355,9 @@ def test_train_occ_cli(tmp_path):
         d = pickle.load(f)
     assert d["ema_updates"] == 3
     assert "params" in d and "ema" in d
+    # dist_test.sh analog: eval-from-checkpoint reports mIoU and exits 0.
+    assert main(["--iters", "3", "--out", str(tmp_path),
+                 "--eval-ckpt", str(ckpt)]) == 0
 
 
 def test_bevdet_occ_crossattn_fusion(occ_model):
