@@ -218,3 +218,44 @@ def test_lpips_state_dict_loader_roundtrip(tmp_path):
     finally:
         del os.environ["PRESIGHT_LPIPS_WEIGHTS"]
         M._LPIPS_CACHE.clear()
+
+
+def test_evaluate_images_depth_rmse():
+    """with_depth adds a depth-RMSE (meters) over valid GT pixels, rescaled
+    out of pose-normalized units (evaluator.py evaluate_images)."""
+    import jax
+
+    from presight_tpu.engine.evaluator import ImageRenderer, evaluate_images
+    from presight_tpu.models import init_model
+    from tests.test_train_smoke import synthetic_scene, tiny_config
+
+    config = tiny_config()
+    aabbs = np.array([[[-10, -10, -10], [10, 10, 10]]], np.float32)
+    centroids = np.zeros((1, 3), np.float32)
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids, 4, 1)
+    cameras = synthetic_scene(height=12, width=18)
+
+    rendered = ImageRenderer(config, chunk=64).render(params, cameras, 0, 12, 18)
+    gt_depth = np.full((12, 18), 7.5, np.float32)
+    gt_depth[:3] = -1.0  # invalid rows must be excluded
+
+    class Item:
+        H, W = 12, 18
+        depth_path = "synthetic"
+
+        def load_image(self):
+            return np.asarray(rendered["rgb"])
+
+        def load_depth(self):
+            return gt_depth
+
+    m = evaluate_images(params, config, cameras, [Item()], with_lpips=False,
+                        with_depth=True)
+    assert "depth_rmse" in m and np.isfinite(m["depth_rmse"])
+    pred_m = np.asarray(rendered["expected_depth"]).reshape(12, 18)
+    pred_m = pred_m / config.pose_scale_factor
+    mask = gt_depth > 0
+    expect = np.sqrt(np.mean((pred_m[mask] - gt_depth[mask]) ** 2))
+    np.testing.assert_allclose(m["depth_rmse"], expect, rtol=1e-5)
+    # GT image == render, so PSNR is perfect alongside.
+    assert m["psnr"] > 60
