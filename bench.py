@@ -43,7 +43,28 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         piecewise_sampler_threshold=100.0 * pose_rescale,
         pose_scale_factor=pose_rescale,
     )
-    if storage == "grid-lean4-s64":
+    if storage == "grid-n48-cap4x":
+        # grid-lean4-s64 + 48 final samples + 4x shared main-table rows
+        # (QUALITY gates 'grid-s64-n48'/'-cap4x'/both combined, plus the
+        # corrected final-quadrature sweep with the n12 sensitivity
+        # control — QUALITY.md round 3c). ~77% of the fused step scales
+        # with the final count; the capacity bump measured free.
+        config = NerfactoNuscMSConfig(
+            hash_storage="shared", prop_shared_mlp=True, remat=False,
+            log2_hashmap_size=17, num_levels=4,
+            features_per_level=10,
+            prop_grid_res=64,
+            num_proposal_samples_per_ray=(64, 64),
+            num_nerf_samples_per_ray=48,
+            proposal_net_args_list=(
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
+                     base_res=16, max_res=1024),
+                dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
+                     base_res=16, max_res=4096),
+            ),
+            **common,
+        )
+    elif storage == "grid-lean4-s64":
         # grid-lean4 + 64 first-round samples (QUALITY gate 'grid-s64'):
         # the cached 64^3 grid's histogram is band-limited by the grid
         # resolution, so 128 stratified samples oversample it; 64 halves
@@ -181,6 +202,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         # 56.9k rays/s; PERFORMANCE.md).
         microbatch_rays={"shared-profile": 16384, "grid-profile": 16384,
                          "grid-lean4": 16384, "grid-lean4-s64": 1024,
+                         "grid-n48-cap4x": 1024,
                          "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)
@@ -288,15 +310,15 @@ def main():
     # rung is the reference-exact table layout, reported alongside.
     ladder = [
         # Headline at the reference's real batch size (65,536 rays/step).
+        ("grid-n48-cap4x", 16, 15, 65536),
         ("grid-lean4-s64", 16, 15, 65536),
-        ("grid-lean4", 16, 15, 65536),
         ("corner", 8, 18, 4096),
     ]
     spreads = {}
     for storage, num_experts, log2, num_rays in ladder:
         try:
-            big = storage in ("grid-lean4-s64", "grid-lean4", "grid-profile",
-                              "shared-profile")
+            big = storage in ("grid-n48-cap4x", "grid-lean4-s64", "grid-lean4",
+                              "grid-profile", "shared-profile")
             rays_per_sec, rates, step_time, loss = bench_config(
                 num_experts, log2, num_rays,
                 iters=12 if big else 6,
