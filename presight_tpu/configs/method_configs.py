@@ -173,12 +173,14 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         # ~28% of the step re-running MLPs/render in the backward (measured
         # on v5e at 8x8192-ray microbatches; PERFORMANCE.md round 2).
         remat=False,
-        # 2^15 rows x 80 floats per level slab (main field); 4 levels x 10
-        # features — identical 40-wide encoding and parameter count as the
-        # previous 5x8 split, 20% fewer main-table rows and one fewer
-        # backward scatter (QUALITY.md round 3 'grid-lean4': matches
-        # prop-lean within seed noise at 16 experts).
-        log2_hashmap_size=15,
+        # 2^17 rows x 80 floats per level slab (main field); 4 levels x 10
+        # features — the same 40-wide encoding as the reference's 10x4,
+        # with 20% fewer main-table rows and one fewer backward scatter
+        # than a 5x8 split (QUALITY.md round 3 'grid-lean4'), at 4x the
+        # round-3 rows: the capacity bump measured FREE at the fused
+        # profile and BEATS the log2-15 baseline's depth RMSE (QUALITY.md
+        # round 3c 'grid-s64-n48-cap4x').
+        log2_hashmap_size=17,
         num_levels=4,
         features_per_level=10,
         # Cached-density-grid first proposal round (QUALITY.md round 3:
@@ -191,6 +193,12 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         # quality indistinguishable from 128 across 3 seeds.
         prop_grid_res=64,
         num_proposal_samples_per_ray=(64, 64),
+        # 48 final (render) samples: ~77% of the fused step scales with
+        # this count. Gated by the round-3c quadrature sweep — n48 holds
+        # PSNR, SSIM AND depth RMSE inside the n64 baseline's seed noise
+        # while the deliberately-broken n12 control degrades depth RMSE by
+        # +0.64 m (3.6x spread), so the fixture has power on this axis.
+        num_nerf_samples_per_ray=48,
         proposal_net_args_list=(
             # 'prop-lean' (QUALITY.md): half the levels at double features —
             # same encoding width and params, half the proposal gathers.
