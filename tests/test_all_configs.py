@@ -63,3 +63,27 @@ def test_tpu_variants_cover_every_tile():
         assert tpu.pipeline.model.use_semantics == base.pipeline.model.use_semantics
         assert dataclasses.asdict(tpu.optimizers["fields"]) == dataclasses.asdict(
             base.optimizers["fields"])
+
+
+def test_bench_headline_matches_tpu_profile():
+    """Drift guard: the bench.py headline rung (what BENCH_r*.json measures)
+    must carry the same gated model profile as the `-tpu` method configs
+    (what users train with). QUALITY.md's gates license ONE profile; if
+    either side moves without the other, the perf claim and the shipped
+    configs silently diverge."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    import bench
+
+    # Shape-only build: patch out the heavy parts? Not needed — bench.build
+    # allocates concrete tables (~200 MB at log2 17), acceptable once.
+    tpu_cfg = method_configs["boston-seaport-camera-dino-c0-tpu"].pipeline.model
+    *_, bench_cfg = bench.build(2, 15, 256, "grid-n48-cap4x")
+    for field in (
+        "hash_storage", "prop_shared_mlp", "log2_hashmap_size", "num_levels",
+        "features_per_level", "prop_grid_res", "num_proposal_samples_per_ray",
+        "num_nerf_samples_per_ray", "proposal_net_args_list",
+    ):
+        assert getattr(bench_cfg, field) == getattr(tpu_cfg, field), (
+            field, getattr(bench_cfg, field), getattr(tpu_cfg, field))
