@@ -1,0 +1,66 @@
+"""Execute the ns-eval / ns-render CLI analogs end-to-end in CI.
+
+Mirrors the reference contract: a finished run directory (config.yml +
+nerfstudio_models/step-*.ckpt) is all `ns-eval` / `ns-render` need
+(reference eval_utils.py:68-110 `eval_setup`; scripts/eval.py,
+scripts/render.py). Trains the synthetic-demo method for a few steps
+through the real train CLI, then drives both consumer CLIs on the run
+directory it produced — the same workflow a user runs.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    from presight_tpu.scripts import train
+
+    out = tmp_path_factory.mktemp("cli_run")
+    rc = train.main([
+        "synthetic-demo",
+        "--max-num-iterations", "6",
+        "--output-dir", str(out),
+        "--steps-per-save", "6",
+    ])
+    assert rc == 0
+    cfgs = list(out.rglob("config.yml"))
+    assert len(cfgs) == 1, cfgs
+    ckpts = list(cfgs[0].parent.glob("nerfstudio_models/step-*.ckpt"))
+    assert ckpts, "train CLI produced no checkpoint"
+    return cfgs[0].parent
+
+
+def test_eval_cli(run_dir, tmp_path):
+    from presight_tpu.scripts import eval as eval_cli
+
+    out = tmp_path / "metrics.json"
+    rc = eval_cli.main([
+        str(run_dir), "--max-images", "1", "--no-lpips",
+        "--output-path", str(out),
+    ])
+    assert rc == 0
+    metrics = json.loads(out.read_text())
+    assert "psnr" in metrics and "ssim" in metrics
+    assert np.isfinite(metrics["psnr"])
+    assert 0.0 <= metrics["ssim"] <= 1.0
+
+
+def test_render_cli(run_dir, tmp_path):
+    from PIL import Image
+
+    from presight_tpu.scripts import render as render_cli
+
+    out = tmp_path / "renders"
+    rc = render_cli.main([
+        str(run_dir), "--output-dir", str(out),
+        "--indices", "0", "--downscale", "2",
+    ])
+    assert rc == 0
+    rgb_path = out / "render_00000_rgb.png"
+    depth_path = out / "render_00000_depth.png"
+    assert rgb_path.exists() and depth_path.exists()
+    rgb = np.asarray(Image.open(rgb_path))
+    assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.shape[0] > 0
