@@ -107,6 +107,14 @@ def evaluate_images(params, config: NerfactoNuscMSConfig, cameras: CameraParams,
     quality study uses it as a third gate axis.
     """
     renderer = ImageRenderer(config)
+    # The cached proposal grid depends only on params — derive it once and
+    # pass it through every render() call instead of letting each image
+    # rebuild it ((res+1)^3 field evals per expert per image otherwise).
+    prop_grid = None
+    if config.use_prop_grid:
+        from ..models.nerfacto_ms import make_prop_grid
+
+        prop_grid = make_prop_grid(params, config)
     if indices is None:
         indices = range(len(items))
     all_metrics: List[Dict[str, float]] = []
@@ -114,7 +122,8 @@ def evaluate_images(params, config: NerfactoNuscMSConfig, cameras: CameraParams,
              else config.monodepth_depth_upperbound)
     for i in indices:
         item = items[i]
-        outputs = renderer.render(params, cameras, i, item.H, item.W)
+        outputs = renderer.render(params, cameras, i, item.H, item.W,
+                                  prop_grid=prop_grid)
         gt = item.load_image()
         m = image_metrics(outputs["rgb"], gt, with_lpips)
         if with_depth and item.depth_path is not None:

@@ -153,10 +153,11 @@ class TemporalSelfAttention(nn.Module):
 class MSDeformableAttention3D(nn.Module):
     """Multi-scale, multi-z-anchor deformable attention
     (multi_scale_deformable_attn_function.py semantics + BEVFormer's
-    spatial_cross_attention.py anchor handling): per (head, level, point)
-    learned offsets added around each of the ``num_anchors`` projected
-    pillar points; attention weights span (levels x points) and are shared
-    across anchors."""
+    spatial_cross_attention.py anchor handling): the ``num_points`` taps per
+    (head, level) are SPLIT across the z-anchors under one softmax
+    (spatial_cross_attention.py:359-368 reshapes offsets to
+    (num_points // num_Z_anchors, num_Z_anchors)), so total attention mass
+    per (query, head) is 1 regardless of how many anchors are in-frustum."""
 
     embed_dim: int
     num_heads: int = 4
@@ -174,32 +175,40 @@ class MSDeformableAttention3D(nn.Module):
         head_dim = D // Hh
         assert len(feats) == L
 
+        assert P % A == 0, (
+            f"num_points ({P}) must be divisible by the anchor count ({A}) "
+            "— reference contract spatial_cross_attention.py:368")
+        Pa = P // A  # taps per anchor
+
         offsets = nn.Dense(Hh * L * P * 2, name="sampling_offsets")(queries)
-        offsets = offsets.reshape(Q, Hh, L, P, 2)
+        offsets = offsets.reshape(Q, Hh, L, Pa, A, 2)
         attn = nn.Dense(Hh * L * P, name="attention_weights")(queries)
         attn = jax.nn.softmax(attn.reshape(Q, Hh, L * P), axis=-1)
-        attn = attn.reshape(Q, Hh, L, P)
+        attn = attn.reshape(Q, Hh, L, Pa, A)
 
         out = jnp.zeros((Q, Hh, head_dim), queries.dtype)
         for l, feat in enumerate(feats):
             value = nn.Dense(D, name=f"value_proj_l{l}")(feat)
             value = value.reshape(*feat.shape[:2], Hh, head_dim)
             scale = 1.0 / (2 ** l)
-            # (A, Q, Hh, P)
-            px = ref_pix[:, :, None, None, 0] * scale + offsets[None, :, :, l, :, 0]
-            py = ref_pix[:, :, None, None, 1] * scale + offsets[None, :, :, l, :, 1]
+            # (A, Q, Hh, Pa)
+            off_l = offsets[:, :, l].transpose(3, 0, 1, 2, 4)  # (A,Q,Hh,Pa,2)
+            px = ref_pix[:, :, None, None, 0] * scale + off_l[..., 0]
+            py = ref_pix[:, :, None, None, 1] * scale + off_l[..., 1]
+            attn_l = attn[:, :, l].transpose(3, 0, 1, 2)  # (A, Q, Hh, Pa)
 
-            def per_anchor(px_a, py_a, valid_a):
+            def per_anchor(px_a, py_a, valid_a, attn_a):
                 taps = bilinear_sample(
                     value.reshape(*value.shape[:2], Hh * head_dim), px_a, py_a
-                ).reshape(*px_a.shape, Hh, head_dim)  # (Q, Hh, P, Hh, hd)
+                ).reshape(*px_a.shape, Hh, head_dim)  # (Q, Hh, Pa, Hh, hd)
                 idx = jnp.arange(Hh)
-                taps = taps[:, idx, :, idx].transpose(1, 0, 2, 3)  # (Q,Hh,P,hd)
+                taps = taps[:, idx, :, idx].transpose(1, 0, 2, 3)  # (Q,Hh,Pa,hd)
                 taps = taps * valid_a[:, None, None, None]
-                return jnp.sum(taps * attn[:, :, l, :, None], axis=2)
+                return jnp.sum(taps * attn_a[..., None], axis=2)
 
             out = out + jnp.sum(
-                jax.vmap(per_anchor)(px, py, ref_valid.astype(queries.dtype)),
+                jax.vmap(per_anchor)(
+                    px, py, ref_valid.astype(queries.dtype), attn_l),
                 axis=0,
             )
         return out.reshape(Q, D)

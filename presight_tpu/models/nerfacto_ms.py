@@ -544,10 +544,15 @@ def make_prop_grid(params: Dict, config: NerfactoNuscMSConfig) -> Optional[jnp.n
     host-side schedule (config.prop_grid_update_every)."""
     if not config.use_prop_grid:
         return None
-    source_round = 1 if not config.use_same_proposal_network else 1
+    if not params["props"]:
+        raise ValueError(
+            "use_prop_grid requires a fine proposal field to derive the "
+            "cached grid from (num_proposal_iterations >= 2)")
+    # With the cached grid, props[0] always backs round 1 (the fine field),
+    # whether or not the proposal network is shared across rounds.
     num_experts = params["field"]["centroids"].shape[0]
     return refresh_prop_grid(
-        params["props"][0], config.prop(source_round),
+        params["props"][0], config.prop(1),
         config.prop_grid_res, num_experts,
     )
 

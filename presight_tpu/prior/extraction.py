@@ -35,8 +35,6 @@ from ..data import constants as K
 from ..data.cameras import CameraParams, generate_rays
 from ..models.nerfacto_ms import (
     NerfactoNuscMSConfig,
-    field_density,
-    field_semantics,
     forward_depth,
     make_prop_grid,
     point_queries,
@@ -177,37 +175,6 @@ def _point_queries_jit(config):
             lambda p, x, g: point_queries(p, config, x, prop_grid=g)
         )
     return _JIT_CACHE[key]
-
-
-def _prop_density_jit(params, config, i):
-    import jax
-
-    key = ("prop", i, _config_key(config))
-    if key not in _JIT_CACHE:
-        from ..fields.prop_field import prop_density
-
-        _JIT_CACHE[key] = jax.jit(
-            lambda p, x: prop_density(p["props"][i], config.prop(i), x)
-        )
-    return lambda x: _JIT_CACHE[key](params, x)
-
-
-def _field_density_jit(params, config):
-    import jax
-
-    key = ("field_density", _config_key(config))
-    if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(lambda p, x: field_density(p, config, x))
-    return lambda x: _JIT_CACHE[key](params, x)
-
-
-def _field_semantics_jit(params, config):
-    import jax
-
-    key = ("field_semantics", _config_key(config))
-    if key not in _JIT_CACHE:
-        _JIT_CACHE[key] = jax.jit(lambda p, x: field_semantics(p, config, x))
-    return lambda x: _JIT_CACHE[key](params, x)
 
 
 def extract_voxels(

@@ -108,8 +108,15 @@ def lpips_fn():
 
             _LPIPS_CACHE["fn"] = fn
             return fn
-        except Exception:  # noqa: BLE001 - malformed weights file
-            pass
+        except Exception as e:  # noqa: BLE001 - malformed weights file
+            import warnings
+
+            warnings.warn(
+                f"PRESIGHT_LPIPS_WEIGHTS={path!r} could not be loaded "
+                f"({type(e).__name__}: {e}); falling back to torchmetrics "
+                "LPIPS (or disabling LPIPS if unavailable)",
+                stacklevel=2,
+            )
     try:
         import torch
         from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity

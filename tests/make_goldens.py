@@ -233,11 +233,6 @@ def main() -> None:
     print("camera_rays.npz", directions.shape)
 
 
-if __name__ == "__main__":
-    main()
-    full_model_golden()
-
-
 def full_model_golden() -> None:
     """Executed full-model parity golden (judge round-2 task 4): build the
     reference NerfactoNuscMSModel (implementation='torch', tiny dims, 2
@@ -406,3 +401,8 @@ def full_model_golden() -> None:
     np.savez(OUT / "full_model.npz",
              **{f"state::{k}": v for k, v in state.items()}, **payload)
     print("full_model.npz", out["rgb"].shape, len(state), "state tensors")
+
+
+if __name__ == "__main__":
+    main()
+    full_model_golden()

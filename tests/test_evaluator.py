@@ -259,3 +259,44 @@ def test_evaluate_images_depth_rmse():
     np.testing.assert_allclose(m["depth_rmse"], expect, rtol=1e-5)
     # GT image == render, so PSNR is perfect alongside.
     assert m["psnr"] > 60
+
+
+def test_evaluate_images_builds_prop_grid_once(monkeypatch):
+    """The cached proposal grid depends only on params; evaluate_images must
+    derive it once and reuse it across images rather than rebuilding it per
+    render() call."""
+    import dataclasses
+
+    import jax
+
+    import presight_tpu.models.nerfacto_ms as NM
+    from presight_tpu.engine.evaluator import evaluate_images
+    from presight_tpu.models import init_model
+    from tests.test_train_smoke import synthetic_scene, tiny_config
+
+    config = dataclasses.replace(tiny_config(), prop_grid_res=4)
+    aabbs = np.array([[[-10, -10, -10], [10, 10, 10]]], np.float32)
+    centroids = np.zeros((1, 3), np.float32)
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids, 4, 1)
+    cameras = synthetic_scene(height=8, width=12)
+
+    calls = []
+    real = NM.make_prop_grid
+
+    def counting(p, cfg):
+        calls.append(1)
+        return real(p, cfg)
+
+    monkeypatch.setattr(NM, "make_prop_grid", counting)
+
+    class Item:
+        H, W = 8, 12
+        depth_path = None
+
+        def load_image(self):
+            return np.zeros((8, 12, 3), np.float32)
+
+    m = evaluate_images(params, config, cameras, [Item(), Item()],
+                        with_lpips=False)
+    assert len(calls) == 1, f"prop grid derived {len(calls)}x for 2 images"
+    assert np.isfinite(m["psnr"])

@@ -396,3 +396,37 @@ def test_map_head_propagation_and_ref_transform():
     np.testing.assert_allclose(np.asarray(out[0, 0]),
                                [0.5 + 6.0 / 60.0, 0.5 - 3.0 / 30.0],
                                rtol=1e-6)
+
+
+def test_msdeform_attention_mass_shared_across_anchors():
+    """The num_points taps are split across z-anchors under ONE softmax
+    (reference spatial_cross_attention.py:359-368), so total attention mass
+    per (query, head) is 1: with constant feature maps and zeroed sampling
+    offsets the output equals value_proj(ones) for ANY anchor count. The
+    pre-fix behavior summed full mass per anchor (output scaled with A)."""
+    from presight_tpu.mapping.bev_encoder import MSDeformableAttention3D
+
+    D, Hh, P = 8, 2, 8
+    Q, H, W = 5, 6, 6
+    mod = MSDeformableAttention3D(embed_dim=D, num_heads=Hh, num_points=P,
+                                  num_levels=1)
+    queries = jax.random.normal(jax.random.PRNGKey(0), (Q, D))
+    feats = [jnp.ones((H, W, D))]
+
+    vrow = None
+    for A in (1, 2, 4):
+        ref_pix = jnp.full((A, Q, 2), 2.5)
+        valid = jnp.ones((A, Q), bool)
+        params = mod.init(jax.random.PRNGKey(1), queries, ref_pix, feats,
+                          valid)
+        # Zero the learned offsets so every tap lands on the same in-bounds
+        # point -> output = (sum of softmax weights) * value_proj(ones).
+        params["params"]["sampling_offsets"] = jax.tree.map(
+            jnp.zeros_like, params["params"]["sampling_offsets"])
+        out = np.asarray(mod.apply(params, queries, ref_pix, feats, valid))
+        if vrow is None:
+            vp = params["params"]["value_proj_l0"]
+            vrow = np.asarray(jnp.ones((D,)) @ vp["kernel"] + vp["bias"])
+        np.testing.assert_allclose(
+            out, np.broadcast_to(vrow, (Q, D)), rtol=1e-5,
+            err_msg=f"attention mass must be 1 with {A} anchors, not {A}x")

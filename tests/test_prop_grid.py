@@ -209,3 +209,28 @@ def test_refresh_schedule():
     assert prop_grid_refresh_due(config, config.prop_grid_warmup_steps + 128 * 5)
     off = _tiny_grid_config(prop_grid_res=0)
     assert not prop_grid_refresh_due(off, 0)
+
+
+def test_make_prop_grid_requires_fine_prop_field():
+    """use_prop_grid with num_proposal_iterations == 1 has no fine prop
+    field to derive the cached grid from — make_prop_grid must raise a
+    clear ValueError, not IndexError."""
+    import dataclasses
+
+    import jax
+
+    from presight_tpu.models import init_model
+    from presight_tpu.models.nerfacto_ms import make_prop_grid
+
+    config = dataclasses.replace(
+        _tiny_grid_config(),
+        num_proposal_iterations=1,
+        num_proposal_samples_per_ray=(12,),
+        proposal_net_args_list=(_tiny_grid_config().proposal_net_args_list[0],),
+    )
+    aabbs = np.array([[[-10, -10, -10], [10, 10, 10]]], np.float32)
+    centroids = np.zeros((1, 3), np.float32)
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids, 4, 1)
+    assert params["props"] == []
+    with pytest.raises(ValueError, match="fine proposal field"):
+        make_prop_grid(params, config)
