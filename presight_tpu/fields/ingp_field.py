@@ -138,7 +138,7 @@ def density_and_embedding_sorted(
     # rows in the backward pass costs ~2x the forward's gather time, while
     # the saved (N, L*F) activation is small.
     feats = checkpoint_name(feats, "hash_enc")
-    h = apply_mlp_grouped(params["base_mlp"], feats, routing.group_sizes, e)
+    h = apply_mlp_grouped(params["base_mlp"], feats, routing.group_sizes)
     density_logit = h[..., 0]
     geo_feat = h[..., 1 : 1 + config.geo_feat_dim]
     sem_feat = h[..., 1 + config.geo_feat_dim :]
@@ -216,7 +216,7 @@ def rgb_sorted(
         parts.append(appearance_sorted)
     h = jnp.concatenate(parts, axis=-1)
     return apply_mlp_grouped(
-        params["rgb_head"], h, routing.group_sizes, routing.expert_ids_sorted,
+        params["rgb_head"], h, routing.group_sizes,
         out_activation=jax.nn.sigmoid,
     )
 
@@ -231,5 +231,4 @@ def semantics_sorted(
     (ingp_field.py:144-151, 205-211)."""
     return apply_mlp_grouped(
         params["semantic_head"], sem_feat_sorted, routing.group_sizes,
-        routing.expert_ids_sorted,
     )

@@ -86,7 +86,7 @@ def prop_density_sorted(
     unit, selector = contract_positions(positions_sorted, aabb)
     feats = hash_encode(params["hash_table"], unit, config.hash, expert_ids=e)
     feats = checkpoint_name(feats, "hash_enc")
-    logit = apply_mlp_grouped(params["mlp"], feats, routing.group_sizes, e)[..., 0]
+    logit = apply_mlp_grouped(params["mlp"], feats, routing.group_sizes)[..., 0]
     return trunc_exp(logit) * selector
 
 

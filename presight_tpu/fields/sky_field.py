@@ -69,13 +69,12 @@ def sky_outputs_sorted(
     else:
         rgb_in = d_enc
     rgb = apply_mlp_grouped(
-        params["rgb_head"], rgb_in, routing.group_sizes, routing.expert_ids_sorted,
+        params["rgb_head"], rgb_in, routing.group_sizes,
         out_activation=jax.nn.sigmoid,
     )
     semantics = None
     if config.use_semantics:
         semantics = apply_mlp_grouped(
             params["semantic_head"], d_enc, routing.group_sizes,
-            routing.expert_ids_sorted,
         )
     return rgb, semantics

@@ -5,7 +5,6 @@ from .math import (
     contract_positions,
     masked_mean,
     normalize_aabb,
-    normalize_directions,
     sh_encoding,
     trunc_exp,
 )

@@ -155,18 +155,25 @@ def init_hash_table(
     return (u * 2.0 - 1.0) * config.hash_init_scale
 
 
-def _hash_corners(corners: jnp.ndarray, table_size: int) -> jnp.ndarray:
-    """Spatial-hash int32 corner coords (..., 3) -> flat index (...,).
+def _raw_hash(corners: jnp.ndarray) -> jnp.ndarray:
+    """Unmasked spatial hash of int coords (..., 3) -> uint32 (...,).
 
-    uint32 wraparound arithmetic; result in [0, table_size).
+    uint32 wraparound arithmetic. Kept separate from the table-size mask so
+    'shared' storage can XOR its expert mix into the full-width hash before
+    masking — every storage layout hashes through this one function.
     """
     c = corners.astype(jnp.uint32)
-    h = (
+    return (
         c[..., 0] * jnp.uint32(_HASH_PRIMES[0])
         ^ c[..., 1] * jnp.uint32(_HASH_PRIMES[1])
         ^ c[..., 2] * jnp.uint32(_HASH_PRIMES[2])
     )
-    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def _hash_corners(corners: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Spatial-hash int32 corner coords (..., 3) -> flat index (...,) in
+    [0, table_size)."""
+    return (_raw_hash(corners) & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
 def hash_encode(
@@ -216,12 +223,7 @@ def hash_encode(
             emix = expert_ids.astype(jnp.uint32) * jnp.uint32(_EXPERT_PRIME)
         outs = []
         for l in range(L):
-            c = fl[..., l, :].astype(jnp.uint32)
-            h = (
-                c[..., 0] * jnp.uint32(_HASH_PRIMES[0])
-                ^ c[..., 1] * jnp.uint32(_HASH_PRIMES[1])
-                ^ c[..., 2] * jnp.uint32(_HASH_PRIMES[2])
-            )
+            h = _raw_hash(fl[..., l, :])
             if emix is not None:
                 h = h ^ emix
             idx = (h & jnp.uint32(T - 1)).astype(jnp.int32)

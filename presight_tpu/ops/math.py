@@ -83,14 +83,6 @@ def contract_positions(positions: jnp.ndarray, aabb: jnp.ndarray):
     return positions, selector
 
 
-def normalize_directions(directions: jnp.ndarray) -> jnp.ndarray:
-    """Shift unit directions from [-1, 1] to [0, 1] for the SH encoder.
-
-    Reference spec: nerfstudio-0.3.3/nerfstudio/fields/base_field.py:136-142.
-    """
-    return (directions + 1.0) / 2.0
-
-
 def sh_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
     """Real spherical-harmonics basis up to ``levels`` (levels**2 components).
 
@@ -141,6 +133,12 @@ def sh_encoding(directions: jnp.ndarray, levels: int = 4) -> jnp.ndarray:
     return jnp.stack(comps, axis=-1)
 
 
+# Above this many cube elements the all-pairs compare-reduce gives way to
+# the double-argsort rank path. Module-level so tests can patch it low and
+# exercise the fallback without multi-GB inputs.
+_SEARCHSORTED_CUBE_LIMIT = 1 << 31
+
+
 def searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "right") -> jnp.ndarray:
     """Batched searchsorted: ``a`` (..., M) sorted along the last axis,
     ``v`` (..., K) *sorted along the last axis*; returns int32 insertion
@@ -162,7 +160,7 @@ def searchsorted(a: jnp.ndarray, v: jnp.ndarray, side: str = "right") -> jnp.nda
         rows *= d
     if side not in ("right", "left"):
         raise ValueError(f"invalid side {side!r}")
-    if rows * m * k <= (1 << 31):
+    if rows * m * k <= _SEARCHSORTED_CUBE_LIMIT:
         if side == "right":
             mask = a[..., :, None] <= v[..., None, :]
         else:

@@ -128,7 +128,6 @@ def apply_mlp_grouped(
     params: Params,
     x: jnp.ndarray,
     group_sizes: jnp.ndarray,
-    expert_ids_sorted: jnp.ndarray,
     out_activation: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     block: int = GROUP_BLOCK,
 ) -> jnp.ndarray:
@@ -152,7 +151,6 @@ def apply_mlp_grouped(
       params: stacked per-expert layers [(W (E,in,out), b (E,out)), ...].
       x: (N, in) inputs *sorted by expert id*.
       group_sizes: (E,) int32 — count of rows per expert (sums to N).
-      expert_ids_sorted: (N,) int32 — expert of each (sorted) row.
       out_activation: optional final activation.
       block: rows per block (expert-segment padding granularity).
 
@@ -160,20 +158,12 @@ def apply_mlp_grouped(
     """
     n = x.shape[0]
     dest, src, slot_valid, block_expert, n_pad = _blocked_layout(group_sizes, n, block)
-    num_blocks = n_pad // block
 
     h = permute(x, src, dest, fwd_valid=slot_valid)  # (n_pad, in), gather both ways
-    num_layers = len(params)
-    for i, (w, b) in enumerate(params):
-        hb = h.reshape(num_blocks, block, -1)
-        wb = w.astype(x.dtype)[block_expert]  # (num_blocks, in, out)
-        bb = b.astype(x.dtype)[block_expert]  # (num_blocks, out)
-        hb = jnp.einsum("bik,bko->bio", hb, wb,
-                        preferred_element_type=x.dtype) + bb[:, None, :]
-        if i < num_layers - 1:
-            hb = jax.nn.relu(hb)
-        h = hb.reshape(n_pad, -1)
+    h = apply_mlp_blocks(params, h, block_expert)
     out = permute(h, dest, src, bwd_valid=slot_valid)  # (n, out)
+    # The final activation is elementwise, so applying it after the unpad
+    # gather is equivalent and touches n rows instead of n_pad.
     if out_activation is not None:
         out = out_activation(out)
     return out

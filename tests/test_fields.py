@@ -55,7 +55,7 @@ def test_grouped_mlp_matches_dense():
     r = build_routing(ids, E)
 
     dense = apply_mlp_dense_experts(params, x, ids, E)
-    grouped = apply_mlp_grouped(params, x[r.order], r.group_sizes, r.expert_ids_sorted)
+    grouped = apply_mlp_grouped(params, x[r.order], r.group_sizes)
     grouped_unsorted = grouped[r.inverse]
     np.testing.assert_allclose(np.asarray(grouped_unsorted), np.asarray(dense),
                                rtol=2e-4, atol=1e-5)
@@ -67,7 +67,7 @@ def test_grouped_mlp_matches_single_expert():
     single = [(w[0], b[0]) for w, b in params]
     x = jnp.asarray(np.random.RandomState(2).randn(32, 8).astype(np.float32))
     r = build_routing(jnp.zeros(32, jnp.int32), 1)
-    grouped = apply_mlp_grouped(params, x, r.group_sizes, r.expert_ids_sorted)
+    grouped = apply_mlp_grouped(params, x, r.group_sizes)
     plain = apply_mlp(single, x)
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(plain), rtol=2e-4, atol=1e-5)
 

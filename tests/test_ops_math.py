@@ -104,3 +104,25 @@ def test_masked_mean_matches_boolean_indexing():
     m = rng.rand(64) > 0.5
     expected = x[m].mean()
     np.testing.assert_allclose(masked_mean(jnp.asarray(x), jnp.asarray(m)), expected, rtol=1e-5)
+
+
+def test_searchsorted_sort_fallback_matches_cube(monkeypatch):
+    """The double-argsort rank fallback (taken only above the cube-size
+    limit, i.e. multi-GB inputs in production) must agree with the
+    compare-reduce fast path and numpy, including ties on both sides."""
+    import presight_tpu.ops.math as M
+
+    rng = np.random.RandomState(0)
+    # Deliberate ties: quantized values in both arrays.
+    a = np.sort(rng.randint(0, 12, (7, 20)).astype(np.float32), axis=-1)
+    v = np.sort(rng.randint(0, 12, (7, 9)).astype(np.float32), axis=-1)
+
+    for side in ("right", "left"):
+        fast = np.asarray(M.searchsorted(jnp.asarray(a), jnp.asarray(v), side))
+        monkeypatch.setattr(M, "_SEARCHSORTED_CUBE_LIMIT", 0)
+        slow = np.asarray(M.searchsorted(jnp.asarray(a), jnp.asarray(v), side))
+        monkeypatch.setattr(M, "_SEARCHSORTED_CUBE_LIMIT", 1 << 31)
+        ref = np.stack([np.searchsorted(a[i], v[i], side=side)
+                        for i in range(a.shape[0])])
+        np.testing.assert_array_equal(fast, ref, err_msg=f"cube path, {side}")
+        np.testing.assert_array_equal(slow, ref, err_msg=f"sort path, {side}")
