@@ -81,6 +81,10 @@ def prop_density_sorted(
     params: Dict, config: PropFieldConfig, positions_sorted: jnp.ndarray, routing: Routing
 ) -> jnp.ndarray:
     """Density for pre-sorted positions (prop_density_field.py:129-153)."""
+    if config.shared_mlp:
+        raise ValueError(
+            "prop_density_sorted requires stacked per-expert MLP params; "
+            "shared_mlp configs use the sort-free path in prop_density")
     e = routing.expert_ids_sorted
     aabb = jax.lax.stop_gradient(params["aabbs"])[e]  # buffer, not trained
     unit, selector = contract_positions(positions_sorted, aabb)
@@ -131,7 +135,10 @@ def prop_density(params: Dict, config: PropFieldConfig, positions: jnp.ndarray) 
 # interlevel loss keeps matched to the final NeRF weights). This is the
 # Instant-NGP occupancy-grid idea applied to the proposal histogram.
 
-from ..ops.hash_encoding import _CORNER_BITS  # noqa: E402  (module-level dep)
+from ..ops.hash_encoding import (  # noqa: E402  (module-level dep)
+    _CORNER_BITS,
+    trilerp_weights,
+)
 
 
 def prop_grid_cells(corner_density: jnp.ndarray) -> jnp.ndarray:
@@ -170,9 +177,7 @@ def prop_grid_density(
     cell = fl.astype(jnp.int32)
     cidx = (cell[..., 0] * res + cell[..., 1]) * res + cell[..., 2]
     rows = jax.lax.stop_gradient(grid_cells)[eids * (res * res * res) + cidx]
-    bits = jnp.asarray(_CORNER_BITS)  # (8, 3)
-    w = jnp.where(bits[None] == 1, offset[:, None, :], 1.0 - offset[:, None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # (N, 8)
+    w = trilerp_weights(offset)  # (N, 8)
     dens = jnp.sum(rows * w, axis=-1)
     return (dens * selector).reshape(shape)
 
@@ -188,11 +193,20 @@ def refresh_prop_grid(
     noise (one round-1's worth of field evals per K steps).
 
     Corner coordinates are generated directly in contracted unit space, so
-    no AABB inverse is needed; the out-of-range selector is identically 1
-    in the open cube interior and the boundary corners (measure zero for
-    real samples) evaluate the field without it."""
+    no AABB inverse is needed and the out-of-range selector is identically
+    1. The upper boundary face is evaluated at 1 - 2^-12 rather than
+    exactly 1.0: under 'cell'/'shared' storage a coordinate of exactly 1.0
+    makes hash_encode read floor-corner slots of the out-of-domain cell at
+    index res_level — a row no training sample ever reaches (samples are
+    strictly inside (0,1)), so its content is arbitrary — and
+    prop_grid_density would then trilerp that value across the grid's whole
+    outermost cell shell. The one-sided limit (the last in-domain cell's
+    features) is the correct boundary value; 2^-12 keeps the f32 product
+    scaled = x * res_level strictly below res_level for every level
+    resolution in use (exact at 4096: 4096 * (1 - 2^-12) = 4095.0)."""
     n = (res + 1) ** 3
     lin = jnp.arange(res + 1, dtype=jnp.float32) / jnp.float32(res)
+    lin = jnp.minimum(lin, jnp.float32(1.0 - 2.0 ** -12))
     gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
     pts = jnp.stack([gx, gy, gz], axis=-1).reshape(n, 3)  # (n, 3) unit coords
 

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 class Routing(NamedTuple):
     """Sorted-dispatch bookkeeping for a flat batch of N samples."""
 
-    expert_ids: jnp.ndarray  # (N,) int32, original order
     order: jnp.ndarray  # (N,) int32: sorted_x = x[order]
     inverse: jnp.ndarray  # (N,) int32: x = sorted_x[inverse]
     group_sizes: jnp.ndarray  # (E,) int32
@@ -50,7 +49,6 @@ def build_routing(expert_ids: jnp.ndarray, num_experts: int) -> Routing:
     inverse = jnp.argsort(order).astype(jnp.int32)
     group_sizes = jnp.bincount(expert_ids, length=num_experts).astype(jnp.int32)
     return Routing(
-        expert_ids=expert_ids,
         order=order,
         inverse=inverse,
         group_sizes=group_sizes,
@@ -76,7 +74,6 @@ class PaddedRouting(NamedTuple):
     of a field evaluation.
     """
 
-    expert_ids: jnp.ndarray  # (N,) int32, original order
     to_slot: jnp.ndarray  # (n_pad,) int32: padded[s] = x[to_slot[s]]
     from_slot: jnp.ndarray  # (N,) int32: x[i] lives at padded slot from_slot[i]
     slot_valid: jnp.ndarray  # (n_pad,) bool — False on block-padding slots
@@ -88,7 +85,7 @@ class PaddedRouting(NamedTuple):
 def build_padded_routing(expert_ids: jnp.ndarray, num_experts: int,
                          block: int) -> PaddedRouting:
     """Compose sort-by-expert with the block-padded slab layout."""
-    from ..ops.mlp import _blocked_layout
+    from ..ops.mlp import _blocked_layout, block_offsets
 
     routing = build_routing(expert_ids, num_experts)
     n = expert_ids.shape[0]
@@ -100,20 +97,14 @@ def build_padded_routing(expert_ids: jnp.ndarray, num_experts: int,
     # expert is e_j, so its padded slot is pad_offset[e_j] + (inverse[j] -
     # orig_offset[e_j]). The two offset lookups hit E-row tables (~free on
     # v5e) where the composition was a second N-row gather (~5 ns/row,
-    # measured; N ~ 1M per microbatch on the hot path).
-    gs = routing.group_sizes
-    padded_sizes = ((gs + block - 1) // block) * block
-    pad_offsets = jnp.concatenate(
-        [jnp.zeros((1,), gs.dtype), jnp.cumsum(padded_sizes)[:-1]]
-    )
-    orig_offsets = jnp.concatenate(
-        [jnp.zeros((1,), gs.dtype), jnp.cumsum(gs)[:-1]]
-    )
+    # measured; N ~ 1M per microbatch on the hot path). The offsets come
+    # from the same block_offsets as _blocked_layout, so the padding rule
+    # cannot drift between the two maps.
+    _, pad_offsets, orig_offsets = block_offsets(routing.group_sizes, block)
     from_slot = (
         pad_offsets[expert_ids] + routing.inverse - orig_offsets[expert_ids]
     ).astype(jnp.int32)
     return PaddedRouting(
-        expert_ids=expert_ids,
         to_slot=routing.order[src],
         from_slot=from_slot,
         slot_valid=slot_valid,

@@ -36,6 +36,7 @@ from ..fields.prop_field import (
     refresh_prop_grid,
 )
 from ..fields.router import (
+    assign_experts,
     build_routing,
     pad_rows,
     route_positions_padded,
@@ -495,13 +496,7 @@ def forward(
     if config.use_sky_model:
         sky_routing = build_routing(
             # Routed on ray origins (sky_field_ms.py:89-98).
-            jnp.argmin(
-                jnp.sum(
-                    (bundle.origins[:, None, :] - params["sky"]["centroids"][None]) ** 2,
-                    axis=-1,
-                ),
-                axis=-1,
-            ).astype(jnp.int32),
+            assign_experts(bundle.origins, params["sky"]["centroids"]),
             params["sky"]["centroids"].shape[0],
         )
         sky_rgb_s, sky_sem_s = sky_outputs_sorted(

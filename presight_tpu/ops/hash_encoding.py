@@ -155,6 +155,16 @@ def init_hash_table(
     return (u * 2.0 - 1.0) * config.hash_init_scale
 
 
+def trilerp_weights(offset: jnp.ndarray) -> jnp.ndarray:
+    """In-cell offsets (..., 3) in [0, 1] -> (..., 8) trilinear corner
+    weights in _CORNER_BITS order (bit=1 selects the +1 corner on that
+    axis). Shared by hash_encode and the cached proposal grid so the corner
+    enumeration can never drift between them."""
+    bits = jnp.asarray(_CORNER_BITS)  # (8, 3)
+    w = jnp.where(bits == 1, offset[..., None, :], 1.0 - offset[..., None, :])
+    return w[..., 0] * w[..., 1] * w[..., 2]
+
+
 def _raw_hash(corners: jnp.ndarray) -> jnp.ndarray:
     """Unmasked spatial hash of int coords (..., 3) -> uint32 (...,).
 
@@ -207,11 +217,7 @@ def hash_encode(
     offset = (scaled - scaled_f).astype(positions.dtype)  # (..., L, 3)
     fl = scaled_f.astype(jnp.int32)
 
-    corner_bits = jnp.asarray(_CORNER_BITS)  # (8, 3)
-    # Trilerp weight per corner = prod over axes of (offset if ceil else
-    # 1-offset).
-    w = jnp.where(corner_bits[None, :, :] == 1, offset[..., None, :], 1.0 - offset[..., None, :])
-    w = w[..., 0] * w[..., 1] * w[..., 2]  # (..., L, 8)
+    w = trilerp_weights(offset)  # (..., L, 8)
 
     if config.storage == "shared":
         # Per-level tables shared by all experts: the expert id mixes into
@@ -247,6 +253,7 @@ def hash_encode(
 
     ce = jnp.ceil(scaled).astype(jnp.int32)
     # (..., L, 8, 3): pick ceil where bit==1 else floor.
+    corner_bits = jnp.asarray(_CORNER_BITS)  # (8, 3)
     corners = jnp.where(corner_bits[None, :, :] == 1, ce[..., None, :], fl[..., None, :])
 
     idx = _hash_corners(corners, T)  # (..., L, 8)

@@ -78,6 +78,24 @@ def apply_mlp(
 GROUP_BLOCK = 512  # rows per expert block in the grouped matmul
 
 
+def block_offsets(group_sizes: jnp.ndarray, block: int):
+    """Per-expert (padded_sizes, pad_offsets, orig_offsets) of the
+    block-aligned slab layout.
+
+    This is THE definition of the padding rule: _blocked_layout (pad/unpad
+    maps inside grouped matmuls) and fields/router.py build_padded_routing
+    (the fused from_slot arithmetic) both derive from it, so they can never
+    disagree on where an expert's slab starts."""
+    padded_sizes = ((group_sizes + block - 1) // block) * block
+    pad_offsets = jnp.concatenate(
+        [jnp.zeros((1,), group_sizes.dtype), jnp.cumsum(padded_sizes)[:-1]]
+    )
+    orig_offsets = jnp.concatenate(
+        [jnp.zeros((1,), group_sizes.dtype), jnp.cumsum(group_sizes)[:-1]]
+    )
+    return padded_sizes, pad_offsets, orig_offsets
+
+
 def _blocked_layout(group_sizes: jnp.ndarray, n: int, block: int):
     """Padded block layout for expert-grouped matmuls.
 
@@ -93,13 +111,7 @@ def _blocked_layout(group_sizes: jnp.ndarray, n: int, block: int):
     e = group_sizes.shape[0]
     # Static upper bound on padded length, rounded to a block multiple.
     n_pad = (-(-n // block) + e) * block
-    padded_sizes = ((group_sizes + block - 1) // block) * block
-    pad_offsets = jnp.concatenate(
-        [jnp.zeros((1,), group_sizes.dtype), jnp.cumsum(padded_sizes)[:-1]]
-    )
-    orig_offsets = jnp.concatenate(
-        [jnp.zeros((1,), group_sizes.dtype), jnp.cumsum(group_sizes)[:-1]]
-    )
+    padded_sizes, pad_offsets, orig_offsets = block_offsets(group_sizes, block)
     # expert of each sorted row, derived from offsets (rows >= offset_e).
     row_ids = jnp.arange(n, dtype=group_sizes.dtype)
     expert_of_row = jnp.sum(

@@ -234,3 +234,45 @@ def test_make_prop_grid_requires_fine_prop_field():
     assert params["props"] == []
     with pytest.raises(ValueError, match="fine proposal field"):
         make_prop_grid(params, config)
+
+
+def test_grid_boundary_shell_uses_field_limit_not_out_of_domain_rows():
+    """The grid's upper boundary face must carry the field's one-sided
+    limit (lattice evaluated at 1 - 2^-12), NOT the value at exactly 1.0:
+    under 'cell'/'shared' storage a coordinate of exactly 1.0 reads
+    floor-corner slots of the out-of-domain cell at index res_level (hash
+    content no training sample ever wrote), and prop_grid_density trilerps
+    that across the whole outermost cell shell."""
+    import jax.numpy as jnp
+
+    from presight_tpu.fields.prop_field import refresh_prop_grid
+    from presight_tpu.ops.hash_encoding import _CORNER_BITS, hash_encode
+    from presight_tpu.ops.math import trunc_exp
+    from presight_tpu.ops.mlp import apply_mlp
+
+    config = _tiny_grid_config(prop_grid_res=4)
+    params, centroids, aabbs = _setup(config)
+    pp = params["props"][0]
+    pcfg = config.prop(1)
+    g = 4
+    rows = np.asarray(refresh_prop_grid(pp, pcfg, g, 2)).reshape(
+        2, g, g, g, 8)
+
+    def field_at(pts):
+        pts = jnp.asarray(pts, jnp.float32)
+        eids = jnp.zeros((pts.shape[0],), jnp.int32)
+        feats = hash_encode(pp["hash_table"], pts, pcfg.hash, expert_ids=eids)
+        mlp = pp["mlp"] if pcfg.shared_mlp else [
+            (w[0], b[0]) for w, b in pp["mlp"]]
+        return np.asarray(trunc_exp(apply_mlp(mlp, feats)[..., 0]))
+
+    # Corner (g, j, k) = ceil-x corner of cell (g-1, j, k): _CORNER_BITS
+    # slot 5 is (1, 0, 0).
+    assert list(_CORNER_BITS[5]) == [1, 0, 0]
+    jks = [(0, 0), (1, 2), (3, 3)]
+    stored = np.array([rows[0, g - 1, j, k, 5] for j, k in jks])
+    clamped = field_at([[1.0 - 2.0 ** -12, j / g, k / g] for j, k in jks])
+    exact = field_at([[1.0, j / g, k / g] for j, k in jks])
+    np.testing.assert_allclose(stored, clamped, rtol=1e-5)
+    # The out-of-domain row genuinely differs here, so the pin is meaningful.
+    assert np.max(np.abs(clamped - exact)) > 0
