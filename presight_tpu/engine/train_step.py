@@ -156,7 +156,14 @@ def _make_split_train_step(
         num_rays = batch["ray_index"].shape[0]
         micro = min(microbatch_rays, num_rays)
         if num_rays % micro != 0:
-            micro = num_rays  # fall back to one chunk for odd sizes
+            # Falling back to one fused full-batch chunk would recreate the
+            # compile-capacity/activation blowup microbatching exists to
+            # prevent (module docstring) — fail loudly instead.
+            raise ValueError(
+                f"ray batch ({num_rays}) must be divisible by "
+                f"microbatch_rays ({micro}); pick a batch size that is a "
+                "multiple of the microbatch (the shipped configs use powers "
+                "of two)")
         k = num_rays // micro
 
         vg = jax.value_and_grad(one_chunk_loss, has_aux=True)

@@ -107,7 +107,12 @@ class Trainer:
         self.config = config
 
     @profiler.time_function(name="Trainer.setup")
-    def setup(self) -> None:
+    def setup(self, run_dir: Optional[Path] = None,
+              write_config: bool = True) -> None:
+        """run_dir overrides cfg.run_dir() (eval_setup passes the directory
+        the config was loaded from, so a moved/renamed run never grows a
+        phantom tree). write_config=False (eval/extraction) leaves the
+        training run's config.yml provenance file untouched."""
         import jax
         import jax.numpy as jnp
 
@@ -117,12 +122,13 @@ class Trainer:
 
         cfg = self.config
         pcfg = cfg.pipeline
-        self.run_dir = cfg.run_dir()
+        self.run_dir = Path(run_dir) if run_dir is not None else cfg.run_dir()
         self.run_dir.mkdir(parents=True, exist_ok=True)
 
-        from ..configs.config_io import save_config
+        if write_config:
+            from ..configs.config_io import save_config
 
-        save_config(cfg, self.run_dir / "config.yml")
+            save_config(cfg, self.run_dir / "config.yml")
 
         self.train_outputs: DataparserOutputs = parse(pcfg.dataparser, split="train")
         model_cfg = dataclasses.replace(
@@ -142,7 +148,7 @@ class Trainer:
             images_per_chunk=pcfg.datamanager.images_per_chunk,
             chunk_ratio=pcfg.datamanager.chunk_ratio,
             group_balanced=pcfg.datamanager.group_balanced,
-            load_features=pcfg.datamanager.load_features,
+            load_features=pcfg.datamanager.load_features and model_cfg.use_semantics,
             mask_seg_classes=pcfg.datamanager.mask_seg_classes,
             num_threads=pcfg.datamanager.num_threads,
         )
@@ -178,7 +184,8 @@ class Trainer:
                 ),
                 chunk_ratio=pcfg.datamanager.chunk_ratio,
                 group_balanced=False,
-                load_features=pcfg.datamanager.load_features,
+                load_features=pcfg.datamanager.load_features
+                and model_cfg.use_semantics,
                 mask_seg_classes=pcfg.datamanager.mask_seg_classes,
                 num_threads=pcfg.datamanager.num_threads,
             )
@@ -208,7 +215,6 @@ class Trainer:
             self.tx = optax.MultiSteps(
                 self.tx, every_k_schedule=cfg.gradient_accumulation_steps
             )
-        self.state = init_train_state(params, self.tx)
         # split_update + scan microbatching: required at tile scale on TPU
         # (compile-pipeline capacity; PERFORMANCE.md), harmless elsewhere.
         self.steps = TrainStepPair(model_cfg, self.tx, split_update=True,
@@ -218,32 +224,18 @@ class Trainer:
         # > 0): refreshed on a host schedule from the fine prop field.
         self._prop_grid = None
         self.writer = Writer(self.run_dir, vis=cfg.vis)
-        self._rng = jax.random.PRNGKey(cfg.seed + 1)
-        self.start_step = 0
 
-        load_dir = cfg.load_dir
-        if load_dir is None:
-            ckpt = latest_checkpoint(self.run_dir)
-        else:
-            ckpt = latest_checkpoint(Path(load_dir))
-        if ckpt is not None:
-            params, opt_state, step = load_checkpoint(ckpt, self.state)
-            self.state = self.state._replace(
-                params=params, opt_state=opt_state,
-                step=jnp.asarray(step, jnp.int32),
-            )
-            self.start_step = step
-            print(f"resumed from {ckpt} at step {step}", flush=True)
-
-        # Data-parallel mesh placement (after checkpoint restore so the
-        # restored leaves are re-placed too).
+        # Mesh placement happens BEFORE state init and checkpoint restore:
+        # with ZeRO-1 the Adam moments are materialized/restored directly
+        # into their mesh shardings (jit out_shardings, and orbax restores
+        # onto the template leaves' shardings) — initializing the full
+        # optimizer state on one device first would OOM at exactly the
+        # scale ZeRO-1 exists for (mesh.py opt_state_shardings).
         self.mesh = None
         self.num_devices = 1
         ndev = cfg.num_devices if cfg.num_devices > 0 else jax.device_count()
         if ndev > 1:
-            from ..parallel import (
-                make_mesh, replicate, shard_opt_state, shard_train_state,
-            )
+            from ..parallel import make_mesh, opt_state_shardings, replicate
 
             batch_size = cfg.pipeline.datamanager.train_num_rays_per_batch
             if batch_size % ndev != 0:
@@ -254,17 +246,61 @@ class Trainer:
                 )
             self.mesh = make_mesh(ndev)
             self.num_devices = ndev
+            params = replicate(self.mesh, params)
             if cfg.zero1:
-                self.state = shard_train_state(self.mesh, self.state)
-            else:
-                self.state = self.state._replace(
-                    params=replicate(self.mesh, self.state.params),
-                    opt_state=replicate(self.mesh, self.state.opt_state),
-                    step=replicate(self.mesh, self.state.step),
+                opt_specs = opt_state_shardings(
+                    self.mesh, jax.eval_shape(self.tx.init, params)
                 )
+                opt_state = jax.jit(self.tx.init, out_shardings=opt_specs)(params)
+            else:
+                opt_state = replicate(self.mesh, self.tx.init(params))
+            from .train_step import TrainState
+
+            self.state = TrainState(
+                params=params, opt_state=opt_state,
+                step=replicate(self.mesh, jnp.asarray(0, jnp.int32)),
+            )
             self.cameras = replicate(self.mesh, self.cameras)
             print(f"data-parallel over {ndev} {self.mesh.devices.flat[0].platform} "
                   f"devices (zero1={cfg.zero1})", flush=True)
+        else:
+            self.state = init_train_state(params, self.tx)
+
+        self.start_step = 0
+        load_dir = cfg.load_dir
+        if load_dir is None:
+            ckpt = latest_checkpoint(self.run_dir)
+        else:
+            ckpt = latest_checkpoint(Path(load_dir))
+        if ckpt is not None:
+            # The template (self.state) already carries the mesh shardings,
+            # so each leaf restores straight into its final placement.
+            params, opt_state, step = load_checkpoint(ckpt, self.state)
+            step_arr = jnp.asarray(step, jnp.int32)
+            if self.mesh is not None:
+                from ..parallel import replicate
+
+                step_arr = replicate(self.mesh, step_arr)
+            self.state = self.state._replace(
+                params=params, opt_state=opt_state, step=step_arr,
+            )
+            self.start_step = step
+            print(f"resumed from {ckpt} at step {step}", flush=True)
+
+        # Resume continuity: fold the start step into the batch RNG, offset
+        # the chunk stream past a fresh position (instead of replaying the
+        # exact chunk sequence steps 0..start already consumed), and replay
+        # the proposal-update counter to its uninterrupted-run value.
+        self._rng = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed + 1), self.start_step)
+        if self.start_step > 0:
+            self.datamanager.close()
+            self.datamanager = DataManager(
+                dataset, batch_size=pcfg.datamanager.train_num_rays_per_batch,
+                seed=cfg.seed + self.start_step,
+            )
+            for s in range(self.start_step):
+                self.update_sched.step_cb(s, self.update_sched.updated(s))
 
     def train(self) -> None:
         import jax
@@ -274,23 +310,18 @@ class Trainer:
         mcfg = self.model_config
         batch_size = cfg.pipeline.datamanager.train_num_rays_per_batch
 
+        # Honest steady-state timing: between log steps nothing blocks (the
+        # jitted step dispatches asynchronously), so per-step time is the
+        # wall time since the LAST sync divided by the steps dispatched in
+        # between — timing just the sync iteration would charge the whole
+        # drained backlog to one batch and under-report rays/s by up to
+        # steps_per_log x.
+        last_t = time.perf_counter()
+        last_step = self.start_step - 1
         for step in range(self.start_step, cfg.max_num_iterations):
-            t0 = time.perf_counter()
             np_batch = self.datamanager.next_batch()
-            batch = {
-                "ray_index": jnp.asarray(np_batch[K.RAY_INDEX]),
-                "rgb": jnp.asarray(np_batch[K.RGB]),
-                "sky": jnp.asarray(np_batch[K.SKY]),
-                "depth": jnp.asarray(np_batch[K.DEPTH]),
-            }
-            if K.FEATURES in np_batch and mcfg.use_semantics:
-                batch["features"] = jnp.asarray(np_batch[K.FEATURES])
-
-            scalars = StepScalars(
-                anneal=jnp.asarray(anneal_at(mcfg, step), jnp.float32),
-                sigma=jnp.asarray(line_of_sight_sigma_at(mcfg, step), jnp.float32),
-                los_mult=jnp.asarray(line_of_sight_mult_at(mcfg, step), jnp.float32),
-            )
+            batch = self._make_batch(np_batch)
+            scalars = self._scalars_at(step)
             if self.mesh is not None:
                 from ..parallel import shard_batch
 
@@ -309,9 +340,12 @@ class Trainer:
 
             if step % self.writer.steps_per_log == 0:
                 jax.block_until_ready(metrics["total_loss"])
+                now = time.perf_counter()
+                iter_time = (now - last_t) / max(step - last_step, 1)
+                last_t, last_step = now, step
                 host_metrics = {k: float(v) for k, v in metrics.items()}
                 self.writer.log_step(
-                    step, host_metrics, batch_size, time.perf_counter() - t0,
+                    step, host_metrics, batch_size, iter_time,
                     cfg.max_num_iterations, num_devices=self.num_devices,
                 )
 
@@ -324,19 +358,54 @@ class Trainer:
 
             if (
                 self.eval_cameras is not None
+                and cfg.steps_per_eval_image > 0
                 and step > 0
                 and step % cfg.steps_per_eval_image == 0
             ):
                 self._eval_image(step)
 
-            if step > 0 and (step + 1) % cfg.steps_per_save == 0:
+            if (
+                cfg.steps_per_save > 0
+                and step > 0
+                and (step + 1) % cfg.steps_per_save == 0
+            ):
                 save_checkpoint(self.run_dir, step + 1, self.state)
 
-        save_checkpoint(self.run_dir, cfg.max_num_iterations, self.state)
+        # Final checkpoint, labeled with the step the state actually holds.
+        # When no steps ran (resuming a run already past max_num_iterations)
+        # there is nothing new to save — writing one labeled
+        # max_num_iterations would mislabel newer weights AND let
+        # keep-only-latest delete the genuine newest checkpoint.
+        final_step = max(cfg.max_num_iterations, self.start_step)
+        if final_step > self.start_step or latest_checkpoint(self.run_dir) is None:
+            save_checkpoint(self.run_dir, final_step, self.state)
         self.datamanager.close()
         if self._eval_dm is not None:
             self._eval_dm.close()
         self.writer.close()
+
+    def _make_batch(self, np_batch: Dict[str, np.ndarray]) -> Dict:
+        import jax.numpy as jnp
+
+        batch = {
+            "ray_index": jnp.asarray(np_batch[K.RAY_INDEX]),
+            "rgb": jnp.asarray(np_batch[K.RGB]),
+            "sky": jnp.asarray(np_batch[K.SKY]),
+            "depth": jnp.asarray(np_batch[K.DEPTH]),
+        }
+        if K.FEATURES in np_batch and self.model_config.use_semantics:
+            batch["features"] = jnp.asarray(np_batch[K.FEATURES])
+        return batch
+
+    def _scalars_at(self, step: int) -> StepScalars:
+        import jax.numpy as jnp
+
+        mcfg = self.model_config
+        return StepScalars(
+            anneal=jnp.asarray(anneal_at(mcfg, step), jnp.float32),
+            sigma=jnp.asarray(line_of_sight_sigma_at(mcfg, step), jnp.float32),
+            los_mult=jnp.asarray(line_of_sight_mult_at(mcfg, step), jnp.float32),
+        )
 
     def _eval_batch(self, step: int) -> None:
         """Loss metrics on an eval-split pixel batch
@@ -368,19 +437,8 @@ class Trainer:
             self._eval_loss_fn = jax.jit(eval_loss)
 
         np_batch = self._eval_dm.next_batch()
-        batch = {
-            "ray_index": jnp.asarray(np_batch[K.RAY_INDEX]),
-            "rgb": jnp.asarray(np_batch[K.RGB]),
-            "sky": jnp.asarray(np_batch[K.SKY]),
-            "depth": jnp.asarray(np_batch[K.DEPTH]),
-        }
-        if K.FEATURES in np_batch and mcfg.use_semantics:
-            batch["features"] = jnp.asarray(np_batch[K.FEATURES])
-        scalars = StepScalars(
-            anneal=jnp.asarray(anneal_at(mcfg, step), jnp.float32),
-            sigma=jnp.asarray(line_of_sight_sigma_at(mcfg, step), jnp.float32),
-            los_mult=jnp.asarray(line_of_sight_mult_at(mcfg, step), jnp.float32),
-        )
+        batch = self._make_batch(np_batch)
+        scalars = self._scalars_at(step)
         # Eval cameras are indexed within the eval split: rebuild ray_index
         # against the eval camera table.
         self._rng, sub = jax.random.split(self._rng)
@@ -416,19 +474,11 @@ def eval_setup(config_path: Path) -> Tuple[TrainerConfig, "Trainer"]:
 
     config_path = Path(config_path)
     config: TrainerConfig = load_config(config_path)
-    # Run dir is wherever the config lives.
+    # Run dir is wherever the config lives; setup() restores the latest
+    # checkpoint from load_dir itself, and write_config=False keeps the
+    # run's provenance file untouched by mere evaluation.
     run_dir = config_path.parent
-    config = dataclasses.replace(config, load_dir=run_dir,
-                                 output_dir=run_dir.parent.parent.parent)
+    config = dataclasses.replace(config, load_dir=run_dir)
     trainer = Trainer(config)
-    trainer.setup()
-    trainer.run_dir = run_dir
-    ckpt = latest_checkpoint(run_dir)
-    if ckpt is not None:
-        params, opt_state, step = load_checkpoint(ckpt, trainer.state)
-        import jax.numpy as jnp
-
-        trainer.state = trainer.state._replace(
-            params=params, opt_state=opt_state, step=jnp.asarray(step, jnp.int32)
-        )
+    trainer.setup(run_dir=run_dir, write_config=False)
     return config, trainer

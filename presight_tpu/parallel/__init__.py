@@ -3,6 +3,7 @@
 from .mesh import (
     data_sharded,
     make_mesh,
+    opt_state_shardings,
     replicate,
     replicated,
     shard_batch,

@@ -54,6 +54,27 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), tree)
 
 
+def opt_state_shardings(mesh: Mesh, opt_state_shapes, min_size: int = 1 << 20):
+    """The ZeRO-1 placement rule of shard_opt_state as a sharding pytree
+    over ABSTRACT leaves (jax.eval_shape output), so the optimizer state can
+    be initialized (jit out_shardings) or checkpoint-restored directly into
+    the sharded layout — materializing the full Adam state on one device
+    first would OOM at exactly the scale ZeRO-1 exists for (15 GB fp32
+    moments on 16 GB v5e chips for the 16-expert flagship)."""
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+
+    def spec(x):
+        if (
+            hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
+            and x.shape[0] % n == 0 and x.size >= min_size
+        ):
+            return NamedSharding(mesh, P(axis))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map(spec, opt_state_shapes)
+
+
 def shard_opt_state(mesh: Mesh, opt_state, min_size: int = 1 << 20):
     """ZeRO-1-style optimizer-state sharding: large Adam moment tensors are
     split on their leading axis across the data mesh axis; small leaves stay
@@ -66,18 +87,10 @@ def shard_opt_state(mesh: Mesh, opt_state, min_size: int = 1 << 20):
     Adam state) fit on 16 GB v5e chips. The reference has no equivalent
     (single-GPU state on a 40 GB A100).
     """
-    n = mesh.devices.size
-    axis = mesh.axis_names[0]
-
-    def place(x):
-        if (
-            hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0
-            and x.size >= min_size
-        ):
-            return jax.device_put(x, NamedSharding(mesh, P(axis)))
-        return jax.device_put(x, replicated(mesh))
-
-    return jax.tree_util.tree_map(place, opt_state)
+    specs = opt_state_shardings(mesh, opt_state, min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), opt_state, specs
+    )
 
 
 def shard_train_state(mesh: Mesh, state):
