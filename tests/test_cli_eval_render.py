@@ -16,7 +16,16 @@ import pytest
 
 @pytest.fixture(scope="module")
 def run_dir(tmp_path_factory):
+    from pathlib import Path
+
+    from presight_tpu.data.synthetic import generate_scene
     from presight_tpu.scripts import train
+
+    # synthetic-demo reads the fixture from the repo-relative data dir its
+    # method config points at; generate it if this test file runs first.
+    root = Path("data/synthetic")
+    if not (root / "centroids").exists():
+        generate_scene(root)
 
     out = tmp_path_factory.mktemp("cli_run")
     rc = train.main([
