@@ -141,6 +141,25 @@ def variant_model(base, storage: str):
             v = dataclasses.replace(
                 v, log2_hashmap_size=v.log2_hashmap_size + 2)
         return v
+    m = re.fullmatch(r"grid-n48-cap4x-p(\d+)x(\d+)", storage)
+    if m:
+        # The adopted round-3c profile (grid + n48 + cap4x) with BOTH
+        # proposal-round counts set ABSOLUTELY to (p1, p2). This is the
+        # proposal-quadrature sweep: with the final count settled, the
+        # two proposal rounds are the next-largest per-step row counts
+        # (PERFORMANCE.md config-delta probes: round-1 ~216 ms, round-2
+        # ~108 ms at the 65k step). Cutting them changes WHERE the final
+        # 48 samples land (the PDF), not the rendering quadrature itself,
+        # but mis-placed samples show up on the same axis — depth RMSE —
+        # so the gate mirrors round 3c: a p64x64 baseline arm (the
+        # headline counts), candidate cuts, and a deliberately-broken
+        # control (p16x16) that must degrade for the fixture to have
+        # power on this axis.
+        v = dataclasses.replace(
+            variant_model(base, "grid-s64-n48-cap4x"),
+            num_proposal_samples_per_ray=(int(m.group(1)), int(m.group(2))),
+        )
+        return v
     if storage == "grid-s64-cap4x":
         # grid-s64 with 4x the shared table rows (log2 +2). NOT matched
         # params — this is the capacity direction: the cap16 probe measured
