@@ -1,0 +1,123 @@
+"""Device-resident ray store: the whole per-pixel dataset staged in HBM
+once; per-step batches gather rows on-device by ``ray_index``.
+
+Motivation (TPU-native data path): the host chunk pipeline ships every
+batch's VALUES over the host->device link — ~1.2 MB per 4096-ray batch
+with 64-dim DINO features. On a remote-attached chip (or any link where
+bandwidth rather than latency dominates) that per-step copy can exceed
+the train step itself. Every chunk row value is a pure per-pixel function
+of (camera, v, u) (dataset.py ``_load_one``: resized rgb, sky-from-seg,
+depth, nearest-resized features), so for datasets that fit in HBM the
+values can live on device and each step ships only the 12-byte/ray
+``ray_index``. The gathered batch tensors are bitwise identical to the
+host path's rows (tests/test_device_store.py asserts this) and the
+host-side sampling stream (chunk choice, masking, subsample, shuffle) is
+untouched.
+
+Reference analog: none — the reference's DataLoader keeps pixel values on
+host and pays the PCIe copy per batch (my_datamanager.py:66-346). This is
+a transfer-layout optimization, not a sampling change.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from . import constants as K
+
+
+class DeviceRayStore:
+    """Flat (sum HW, C) per-pixel tensors on device, indexed by
+    ``(image_index * H + v) * W + u``."""
+
+    # Staged stores keyed by dataset identity so successive Trainer
+    # instances over the same data (e.g. quality-study arms) reuse one
+    # upload instead of re-shipping ~100 MB per run.
+    _cache: Dict[tuple, "DeviceRayStore"] = {}
+
+    def __init__(self, items: List, load_features: bool):
+        import jax
+        import jax.numpy as jnp
+
+        H, W = items[0].H, items[0].W
+        n = max(it.image_index for it in items) + 1
+        rgb = np.zeros((n, H * W, 3), np.float32)
+        sky = np.zeros((n, H * W), np.float32)
+        depth = np.zeros((n, H * W), np.float32)
+        feat = None
+        for it in items:
+            i = it.image_index
+            rgb[i] = it.load_image().reshape(-1, 3)
+            seg = it.load_segmentation().reshape(-1)
+            sky[i] = (seg == K.SKY_CLASS_ID).astype(np.float32)
+            depth[i] = it.load_depth().reshape(-1)
+            if load_features:
+                f = it.load_features().astype(np.float32)
+                f = f.reshape(-1, f.shape[-1])
+                if feat is None:
+                    feat = np.zeros((n, H * W, f.shape[-1]), np.float32)
+                feat[i] = f
+        self.H, self.W = H, W
+        self.rgb = jax.device_put(rgb.reshape(-1, 3))
+        self.sky = jax.device_put(sky.reshape(-1))
+        self.depth = jax.device_put(depth.reshape(-1))
+        self.features = (
+            jax.device_put(feat.reshape(-1, feat.shape[-1]))
+            if feat is not None else None
+        )
+        self._gather = jax.jit(self._gather_impl, static_argnums=(1,))
+
+    def _gather_impl(self, ray_index, with_features: bool):
+        flat = (ray_index[:, 0] * self.H + ray_index[:, 1]) * self.W \
+            + ray_index[:, 2]
+        batch = {
+            "ray_index": ray_index,
+            "rgb": self.rgb[flat],
+            "sky": self.sky[flat],
+            "depth": self.depth[flat],
+        }
+        if with_features:
+            batch["features"] = self.features[flat]
+        return batch
+
+    def batch(self, ray_index: np.ndarray, with_features: bool) -> Dict:
+        import jax.numpy as jnp
+
+        return self._gather(jnp.asarray(ray_index), with_features)
+
+    @classmethod
+    def maybe_build(cls, items: List, load_features: bool,
+                    cap_mb: int) -> Optional["DeviceRayStore"]:
+        """Build (or fetch from cache) iff every image shares one (H, W)
+        and the staged tensors fit under ``cap_mb``."""
+        if not items or cap_mb <= 0:
+            return None
+        H, W = items[0].H, items[0].W
+        if any(it.H != H or it.W != W for it in items):
+            return None
+        feat_dim = 0
+        if load_features:
+            f0 = items[0].feature_path
+            if f0 is None:
+                load_features = False
+            else:
+                try:
+                    if str(f0).endswith(".npz"):
+                        with np.load(f0) as z:
+                            feat_dim = int(z[z.files[0]].shape[-1])
+                    else:
+                        feat_dim = int(np.load(f0, mmap_mode="r").shape[-1])
+                except Exception:
+                    return None
+        n = max(it.image_index for it in items) + 1
+        size_mb = n * H * W * (3 + 1 + 1 + feat_dim) * 4 / 2 ** 20
+        if size_mb > cap_mb:
+            return None
+        key = (tuple(str(it.image_path) for it in items), load_features)
+        store = cls._cache.get(key)
+        if store is None:
+            store = cls(items, load_features)
+            cls._cache[key] = store
+        return store

@@ -88,6 +88,12 @@ class TrainerConfig:
     zero1: bool = True
     """When num_devices > 1, shard large optimizer-state tensors across
     the mesh (ZeRO-1; parallel/mesh.py:57-89)."""
+    device_ray_store_mb: int = 512
+    """Stage the whole per-pixel dataset in HBM when it fits under this
+    cap and gather batches on-device by ray_index (data/device_store.py):
+    only indices cross the host->device link per step, with bitwise-
+    identical batch tensors. 0 disables. Single-device only (under a mesh
+    the batch must be host-sharded across chips)."""
     vis: str = "local"
     """'+'-joined writer backends from {local, tensorboard, wandb}
     (reference utils/writer.py:299-347; its configs default viewer+wandb).
@@ -266,6 +272,20 @@ class Trainer:
         else:
             self.state = init_train_state(params, self.tx)
 
+        # Device-resident ray store (single-device; see config docstring).
+        self._device_store = None
+        if self.mesh is None and cfg.device_ray_store_mb > 0:
+            from ..data.device_store import DeviceRayStore
+
+            self._device_store = DeviceRayStore.maybe_build(
+                self.train_outputs.items,
+                pcfg.datamanager.load_features and model_cfg.use_semantics,
+                cfg.device_ray_store_mb,
+            )
+            if self._device_store is not None:
+                print("device ray store staged (batch values gathered "
+                      "on-device)", flush=True)
+
         self.start_step = 0
         load_dir = cfg.load_dir
         if load_dir is None:
@@ -387,6 +407,13 @@ class Trainer:
     def _make_batch(self, np_batch: Dict[str, np.ndarray]) -> Dict:
         import jax.numpy as jnp
 
+        if self._device_store is not None:
+            return self._device_store.batch(
+                np_batch[K.RAY_INDEX],
+                self._device_store.features is not None
+                and K.FEATURES in np_batch
+                and self.model_config.use_semantics,
+            )
         batch = {
             "ray_index": jnp.asarray(np_batch[K.RAY_INDEX]),
             "rgb": jnp.asarray(np_batch[K.RGB]),

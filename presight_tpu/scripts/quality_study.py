@@ -250,6 +250,10 @@ def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = Fals
     cfg = dataclasses.replace(
         base_cfg,
         max_num_iterations=iters,
+        # The study's fixtures fit in HBM next to the demo-scale model;
+        # staging them once (cached across arms/seeds in-process) keeps
+        # the gate device-bound instead of host-link-bound.
+        device_ray_store_mb=2048,
         steps_per_save=max(iters, 100),
         steps_per_eval_batch=0,
         steps_per_eval_image=10 ** 9,

@@ -1,0 +1,114 @@
+"""Device-resident ray store (data/device_store.py): batches gathered
+on-device by ray_index must be bitwise identical to the host chunk
+pipeline's rows, and the Trainer must produce the same training
+trajectory with the store on as with it off."""
+
+import numpy as np
+import pytest
+
+from presight_tpu.data import constants as K
+from presight_tpu.data.dataparser import DataParserConfig, parse
+from presight_tpu.data.datamanager import DataManager
+from presight_tpu.data.dataset import PixelChunkDataset
+from presight_tpu.data.device_store import DeviceRayStore
+from presight_tpu.data.synthetic import generate_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    return generate_scene(root)
+
+
+def _parse(scene_dir):
+    return parse(
+        DataParserConfig(
+            data_dir=scene_dir, centroids_dir=scene_dir / "centroids",
+            location="synthetic-city", centroid_name="0", num_aabbs=2,
+            pose_scale_factor=0.05, depth_type="lidar",
+            train_split_fraction=0.9,
+        ),
+        split="train",
+    )
+
+
+def test_store_batches_match_host_rows(scene_dir):
+    out = _parse(scene_dir)
+    labels = out.predicted_labels[
+        [i for i, it in enumerate(out.all_items) if not it.is_val]
+    ]
+    ds = PixelChunkDataset(out.items, labels, split="train",
+                           images_per_chunk=8, chunk_ratio=0.05)
+    dm = DataManager(ds, batch_size=256)
+    store = DeviceRayStore.maybe_build(out.items, load_features=True,
+                                       cap_mb=512)
+    assert store is not None and store.features is not None
+    for _ in range(4):
+        np_batch = dm.next_batch()
+        dev = store.batch(np_batch[K.RAY_INDEX], True)
+        np.testing.assert_array_equal(np.asarray(dev["rgb"]),
+                                      np_batch[K.RGB])
+        np.testing.assert_array_equal(np.asarray(dev["sky"]),
+                                      np_batch[K.SKY])
+        np.testing.assert_array_equal(np.asarray(dev["depth"]),
+                                      np_batch[K.DEPTH])
+        np.testing.assert_array_equal(np.asarray(dev["features"]),
+                                      np_batch[K.FEATURES])
+    dm.close()
+
+
+def test_store_cache_and_cap(scene_dir):
+    out = _parse(scene_dir)
+    a = DeviceRayStore.maybe_build(out.items, True, 512)
+    b = DeviceRayStore.maybe_build(out.items, True, 512)
+    assert a is b  # one upload per dataset identity
+    assert DeviceRayStore.maybe_build(out.items, True, 0) is None
+    tiny = DeviceRayStore.maybe_build(out.items, True, 1)
+    assert tiny is None  # over the cap
+
+
+def test_trainer_trajectory_identical_with_store(scene_dir, tmp_path):
+    """The store is a transfer-layout change only: with it forced on vs
+    off, the same config/seed must produce identical step metrics."""
+    import dataclasses
+
+    from presight_tpu.configs.method_configs import method_configs
+
+    base = method_configs["synthetic-demo"]
+    losses = []
+    for cap in (512, 0):
+        cfg = dataclasses.replace(
+            base,
+            max_num_iterations=4,
+            steps_per_save=1000, steps_per_eval_batch=0,
+            steps_per_eval_image=10 ** 9,
+            device_ray_store_mb=cap,
+            experiment_name=f"devstore-{cap}",
+            output_dir=tmp_path, timestamp="t",
+            pipeline=dataclasses.replace(
+                base.pipeline,
+                dataparser=dataclasses.replace(
+                    base.pipeline.dataparser,
+                    data_dir=scene_dir,
+                    centroids_dir=scene_dir / "centroids",
+                ),
+                datamanager=dataclasses.replace(
+                    base.pipeline.datamanager, train_num_rays_per_batch=128
+                ),
+            ),
+        )
+        from presight_tpu.engine.trainer import Trainer
+
+        tr = Trainer(cfg)
+        tr.setup()
+        assert (tr._device_store is not None) == (cap > 0)
+        tr.train()
+        import jax
+        import jax.numpy as jnp
+
+        losses.append(float(sum(
+            jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(
+                tr.state.params)
+        )))
+        tr.datamanager.close()
+    assert losses[0] == losses[1]
