@@ -67,25 +67,36 @@ class DeviceRayStore:
             jax.device_put(feat.reshape(-1, feat.shape[-1]))
             if feat is not None else None
         )
-        self._gather = jax.jit(self._gather_impl, static_argnums=(1,))
+        # The store tensors are jit ARGUMENTS, never closures: closed-over
+        # arrays are embedded as compile-request constants, and on a
+        # remote-compile runtime a multi-hundred-MB store blows the
+        # request-size limit (HTTP 413). Passing device-resident arrays
+        # as arguments costs nothing.
+        def gather(rgb, sky, depth, feat, ray_index):
+            flat = (ray_index[:, 0] * H + ray_index[:, 1]) * W \
+                + ray_index[:, 2]
+            batch = {
+                "ray_index": ray_index,
+                "rgb": rgb[flat],
+                "sky": sky[flat],
+                "depth": depth[flat],
+            }
+            if feat is not None:
+                batch["features"] = feat[flat]
+            return batch
 
-    def _gather_impl(self, ray_index, with_features: bool):
-        flat = (ray_index[:, 0] * self.H + ray_index[:, 1]) * self.W \
-            + ray_index[:, 2]
-        batch = {
-            "ray_index": ray_index,
-            "rgb": self.rgb[flat],
-            "sky": self.sky[flat],
-            "depth": self.depth[flat],
-        }
-        if with_features:
-            batch["features"] = self.features[flat]
-        return batch
+        self._gather = jax.jit(gather)
+        self._gather_nofeat = jax.jit(lambda rgb, sky, depth, idx:
+                                      gather(rgb, sky, depth, None, idx))
 
     def batch(self, ray_index: np.ndarray, with_features: bool) -> Dict:
         import jax.numpy as jnp
 
-        return self._gather(jnp.asarray(ray_index), with_features)
+        idx = jnp.asarray(ray_index)
+        if with_features:
+            return self._gather(self.rgb, self.sky, self.depth,
+                                self.features, idx)
+        return self._gather_nofeat(self.rgb, self.sky, self.depth, idx)
 
     @classmethod
     def maybe_build(cls, items: List, load_features: bool,
