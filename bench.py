@@ -323,7 +323,7 @@ def main():
                 num_experts, log2, num_rays,
                 iters=12 if big else 6,
                 storage=storage,
-                repeats=3 if big else 1,
+                repeats=3,
             )
             results[storage] = rays_per_sec
             spreads[storage] = rates

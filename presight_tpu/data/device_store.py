@@ -116,8 +116,12 @@ class DeviceRayStore:
             else:
                 try:
                     if str(f0).endswith(".npz"):
+                        # Probe the same key load_features() reads ("arr_0"
+                        # for np.savez positional arrays), falling back to
+                        # the first member only if absent.
                         with np.load(f0) as z:
-                            feat_dim = int(z[z.files[0]].shape[-1])
+                            name = "arr_0" if "arr_0" in z.files else z.files[0]
+                            feat_dim = int(z[name].shape[-1])
                     else:
                         feat_dim = int(np.load(f0, mmap_mode="r").shape[-1])
                 except Exception:
@@ -126,9 +130,17 @@ class DeviceRayStore:
         size_mb = n * H * W * (3 + 1 + 1 + feat_dim) * 4 / 2 ** 20
         if size_mb > cap_mb:
             return None
-        key = (tuple(str(it.image_path) for it in items), load_features)
+        # (H, W, feat_dim) are part of the identity: the same files loaded
+        # at a different image_downscale_factor must not hit a stale store
+        # whose jitted gather bakes in the wrong stride.
+        key = (tuple(str(it.image_path) for it in items), load_features,
+               H, W, feat_dim)
         store = cls._cache.get(key)
         if store is None:
             store = cls(items, load_features)
+            # Keep only the most recent store: each entry pins O(100 MB) of
+            # HBM for the process lifetime, and iterating over distinct
+            # datasets in one process would otherwise accumulate to OOM.
+            cls._cache.clear()
             cls._cache[key] = store
         return store

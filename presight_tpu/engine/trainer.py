@@ -100,7 +100,8 @@ class TrainerConfig:
     Unavailable backends degrade to no-ops."""
     eval_lpips: bool = True
     """Compute LPIPS at image-eval cadence (nerfacto_nusc_ms.py:668-674).
-    Degrades silently when no pretrained perceptual weights are present."""
+    Warns loudly once and omits the metric when no pretrained perceptual
+    weights are present (utils/metrics.py lpips_fn resolution order)."""
     load_dir: Optional[Path] = None
 
     def run_dir(self) -> Path:
@@ -404,10 +405,15 @@ class Trainer:
             self._eval_dm.close()
         self.writer.close()
 
-    def _make_batch(self, np_batch: Dict[str, np.ndarray]) -> Dict:
+    def _make_batch(self, np_batch: Dict[str, np.ndarray],
+                    use_store: bool = True) -> Dict:
         import jax.numpy as jnp
 
-        if self._device_store is not None:
+        # The device store is built over TRAIN items only and ray_index's
+        # image_index is split-local (dataparser.py splits renumber from 0),
+        # so eval batches must NOT gather from it: a val index would hit an
+        # unrelated train-image row. Eval passes use_store=False.
+        if use_store and self._device_store is not None:
             return self._device_store.batch(
                 np_batch[K.RAY_INDEX],
                 self._device_store.features is not None
@@ -464,7 +470,7 @@ class Trainer:
             self._eval_loss_fn = jax.jit(eval_loss)
 
         np_batch = self._eval_dm.next_batch()
-        batch = self._make_batch(np_batch)
+        batch = self._make_batch(np_batch, use_store=False)
         scalars = self._scalars_at(step)
         # Eval cameras are indexed within the eval split: rebuild ray_index
         # against the eval camera table.

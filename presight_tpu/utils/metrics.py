@@ -131,5 +131,16 @@ def lpips_fn():
 
         _LPIPS_CACHE["fn"] = fn
     except Exception:  # noqa: BLE001 - no torchmetrics/weights offline
+        import warnings
+
+        # Loud, once: a run with eval_lpips=True that believes it logged
+        # LPIPS but silently skipped it is worse than no LPIPS at all.
+        warnings.warn(
+            "LPIPS requested but NO perceptual weights are available: set "
+            "$PRESIGHT_LPIPS_WEIGHTS to a torch LPIPS state_dict "
+            "(.npz/.pt), or install torchmetrics with its pretrained "
+            "cache. LPIPS will be ABSENT from eval metrics this run.",
+            stacklevel=2,
+        )
         _LPIPS_CACHE["fn"] = None
     return _LPIPS_CACHE["fn"]

