@@ -30,19 +30,20 @@ IMG_SIZE = (32, 64)
 N_CAM = 2
 
 
-def toy_clip(seed: int, frames: int = 2, num_gt: int = 4, num_points: int = 20):
+def toy_clip(seed: int, frames: int = 2, num_gt: int = 4, num_points: int = 20,
+             img_size=IMG_SIZE):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
     l2i = np.tile(np.eye(4, dtype=np.float32), (N_CAM, 1, 1))
-    l2i[:, 0, 0] = 8.0
-    l2i[:, 1, 1] = 8.0
-    l2i[:, 0, 3] = IMG_SIZE[1] / 2
-    l2i[:, 1, 3] = IMG_SIZE[0] / 2
+    l2i[:, 0, 0] = 8.0 / 64 * img_size[1]
+    l2i[:, 1, 1] = 8.0 / 64 * img_size[1]
+    l2i[:, 0, 3] = img_size[1] / 2
+    l2i[:, 1, 3] = img_size[0] / 2
     clip = []
     for _ in range(frames):
         clip.append(dict(
-            imgs=jnp.asarray(rng.rand(N_CAM, 3, *IMG_SIZE).astype(np.float32)),
+            imgs=jnp.asarray(rng.rand(N_CAM, 3, *img_size).astype(np.float32)),
             lidar2img=jnp.asarray(l2i),
             gt_lines=jnp.asarray(
                 rng.rand(num_gt, num_points, 2).astype(np.float32)),
@@ -58,6 +59,11 @@ def main(argv=None) -> int:
     parser.add_argument("--lr", type=float, default=5e-4)
     parser.add_argument("--weight-decay", type=float, default=1e-2)
     parser.add_argument("--grad-clip", type=float, default=35.0)
+    parser.add_argument("--config", default=None,
+                        help="named config from configs/stage3_configs.py "
+                             "(smn_wcamprior_480_100x50_24e_randomdrop "
+                             "builds the reference topology at reference "
+                             "scale; smn-toy the CI stand-in)")
     parser.add_argument("--data-dir", type=Path, default=None)
     parser.add_argument("--out", type=Path, default=Path("outputs/map"))
     parser.add_argument("--seed", type=int, default=0)
@@ -74,7 +80,17 @@ def main(argv=None) -> int:
 
     from ..mapping import StreamMapNet, map_losses
 
-    model = StreamMapNet(img_size=IMG_SIZE)
+    if args.config is not None:
+        from ..configs.stage3_configs import map_configs
+
+        model = map_configs[args.config]()
+        if not isinstance(model, StreamMapNet):
+            raise SystemExit(
+                f"--config {args.config} builds {type(model).__name__}; "
+                "this CLI drives StreamMapNet (the raster baseline trains "
+                "through mapping.raster_loss, see tests/test_mapping.py)")
+    else:
+        model = StreamMapNet(img_size=IMG_SIZE)
 
     if args.data_dir is not None:
         clips = []
@@ -86,7 +102,8 @@ def main(argv=None) -> int:
         if not clips:
             raise SystemExit(f"no .npz samples under {args.data_dir}")
     else:
-        clips = [toy_clip(args.seed + i) for i in range(4)]
+        clips = [toy_clip(args.seed + i, num_points=model.num_points,
+                          img_size=model.img_size) for i in range(4)]
 
     if args.eval_ckpt is not None:
         from ..mapping.map_head import select_topk_for_propagation

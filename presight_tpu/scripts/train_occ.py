@@ -35,27 +35,30 @@ GRID = {
 INPUT_SIZE = (32, 64)
 
 
-def toy_batch(seed: int, B: int = 1, N: int = 2):
+def toy_batch(seed: int, B: int = 1, N: int = 2, input_size=INPUT_SIZE,
+              grid=GRID):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
     s2e = np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1))
     s2e[..., :3, 3] = rng.randn(B, N, 3) * 0.5
     intrins = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
-    intrins[..., 0, 0] = intrins[..., 1, 1] = 40.0
-    intrins[..., 0, 2] = 32.0
-    intrins[..., 1, 2] = 16.0
+    intrins[..., 0, 0] = intrins[..., 1, 1] = 40.0 / 64 * input_size[1]
+    intrins[..., 0, 2] = input_size[1] / 2.0
+    intrins[..., 1, 2] = input_size[0] / 2.0
     post_rots = np.tile(np.eye(3, dtype=np.float32), (B, N, 1, 1))
     post_trans = np.zeros((B, N, 3), np.float32)
     bda = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    nvox = [round((grid[k][1] - grid[k][0]) / grid[k][2]) for k in "xyz"]
     return dict(
-        imgs=jnp.asarray(rng.rand(B, N, 3, *INPUT_SIZE).astype(np.float32)),
+        imgs=jnp.asarray(rng.rand(B, N, 3, *input_size).astype(np.float32)),
         sensor2ego=jnp.asarray(s2e),
         cam2imgs=jnp.asarray(intrins),
         post_rots=jnp.asarray(post_rots),
         post_trans=jnp.asarray(post_trans),
         bda=jnp.asarray(bda),
-        voxel_semantics=jnp.asarray(rng.randint(0, 18, (B, 20, 20, 8))),
+        voxel_semantics=jnp.asarray(
+            rng.randint(0, 18, (B, nvox[0], nvox[1], nvox[2]))),
     )
 
 
@@ -84,6 +87,12 @@ def main(argv=None) -> int:
     parser.add_argument("--data-dir", type=Path, default=None)
     parser.add_argument("--out", type=Path, default=Path("outputs/occ"))
     parser.add_argument("--temporal", action="store_true")
+    parser.add_argument("--config", default=None,
+                        help="named config from configs/stage3_configs.py "
+                             "(e.g. bevdet-occ-r50d-8x4-24e_wcamprior_"
+                             "randomdrop builds the reference topology at "
+                             "reference scale; bevdet-occ-toy the CI "
+                             "stand-in). Overrides the width flags below.")
     parser.add_argument("--backbone", choices=["simple", "resnet"],
                         default="simple",
                         help="'resnet' runs the reference topology "
@@ -111,17 +120,27 @@ def main(argv=None) -> int:
     from ..occupancy import BEVDetOcc, occ_loss
     from ..utils.ema import ema_init, ema_update
 
-    model = BEVDetOcc(
-        grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
-        view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
-        bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
-        num_classes=18, temporal=args.temporal,
-        backbone=args.backbone, resnet_base_width=args.resnet_base_width,
-        bev_neck=args.bev_neck,
-    )
+    if args.config is not None:
+        import dataclasses
+
+        from ..configs.stage3_configs import occ_configs
+
+        model = occ_configs[args.config]()
+        if args.temporal and not model.temporal:
+            model = dataclasses.replace(model, temporal=True)
+    else:
+        model = BEVDetOcc(
+            grid_config=GRID, input_size=INPUT_SIZE, downsample=16,
+            view_out_channels=16, img_widths=(8, 16, 16, 32), neck_channels=32,
+            bev_widths=(16, 32), bev_out_channels=16, occ_out_dim=16,
+            num_classes=18, temporal=args.temporal,
+            backbone=args.backbone, resnet_base_width=args.resnet_base_width,
+            bev_neck=args.bev_neck,
+        )
 
     batches = (load_batches(args.data_dir) if args.data_dir
-               else [toy_batch(args.seed + i) for i in range(4)])
+               else [toy_batch(args.seed + i, input_size=model.input_size,
+                               grid=model.grid_config) for i in range(4)])
     b0 = batches[0]
     model_args = (b0["imgs"], b0["sensor2ego"], b0["cam2imgs"],
                   b0["post_rots"], b0["post_trans"], b0["bda"])

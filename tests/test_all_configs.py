@@ -87,3 +87,69 @@ def test_bench_headline_matches_tpu_profile():
     ):
         assert getattr(bench_cfg, field) == getattr(tpu_cfg, field), (
             field, getattr(bench_cfg, field), getattr(tpu_cfg, field))
+
+
+def test_reference_named_stage3_configs_build_reference_topology():
+    """Parity-named stage-3 configs default to the reference topology
+    (VERDICT r3: 'parity-named things should default to parity topology,
+    with the toy knob for tests'). Reference values:
+    bevdet-occ-r50d-8x4-24e_wcamprior_randomdrop.py:70-141 and
+    smn_wcamprior_480_100x50_24e_randomdrop.py:17-165."""
+    from presight_tpu.configs.stage3_configs import map_configs, occ_configs
+
+    occ = occ_configs["bevdet-occ-r50d-8x4-24e_wcamprior_randomdrop"]()
+    assert occ.backbone == "resnet" and occ.resnet_depth == 50
+    assert occ.resnet_base_width == 64          # full-width ResNet-50
+    assert occ.bev_neck == "lssfpn3d"
+    assert occ.view_out_channels == 32          # numC_Trans
+    assert occ.neck_channels == 256             # CustomFPN out
+    assert occ.input_size == (256, 704)
+    assert occ.grid_config["x"] == (-40.0, 40.0, 0.4)
+    assert occ.grid_config["depth"] == (1.0, 45.0, 0.5)
+    assert occ.temporal and occ.stereo          # BEVStereo4DOCC, num_adj=1
+    assert occ.prior_fusion == "voxel" and occ.prior_in_channels == 68
+    assert occ.num_classes == 18
+
+    smn = map_configs["smn_wcamprior_480_100x50_24e_randomdrop"]()
+    assert smn.backbone == "resnet" and smn.dcn  # DCNv2 stages 3-4
+    assert smn.bev_hw == (50, 100) and smn.roi_size == (100.0, 50.0)
+    assert smn.img_size == (480, 800)
+    assert smn.embed_dim == 256                 # bev_embed_dims
+    assert smn.num_queries == 100 and smn.num_points == 20
+    assert smn.num_classes == 3                 # cat2id
+    assert smn.topk_propagate == 33             # num_queries // 3
+    assert smn.num_levels == 3 and smn.num_z_anchors == 4
+    assert smn.streaming_bev
+
+    raster = map_configs["nusc_raster_wcamprior_480_100x50_24e_randomdrop"]()
+    assert raster.bev_hw == (50, 100) and raster.embed_dim == 256
+
+    # Toy entries stay available but are explicitly toy-named.
+    assert occ_configs["bevdet-occ-toy"]().backbone == "simple"
+    assert map_configs["smn-toy"]().backbone == "simple"
+
+
+def test_reference_occ_config_shape_initializes():
+    """The reference-scale occ model shape-initializes end to end
+    (jax.eval_shape: no FLOPs/allocation) — catches topology wiring errors
+    (channel math between ResNet stages, FPN, LSS, CustomResNet3D,
+    LSSFPN3D) without paying a full-scale forward."""
+    import jax.numpy as jnp
+
+    from presight_tpu.configs.stage3_configs import occ_configs
+
+    model = occ_configs["bevdet-occ-r50d-8x4-24e_wcamprior_randomdrop"]()
+    B, N = 1, 6
+    H, W = model.input_size
+    imgs = jax.ShapeDtypeStruct((B, N, 3, H, W), jnp.float32)
+    mat4 = jax.ShapeDtypeStruct((B, N, 4, 4), jnp.float32)
+    mat3 = jax.ShapeDtypeStruct((B, N, 3, 3), jnp.float32)
+    vec3 = jax.ShapeDtypeStruct((B, N, 3), jnp.float32)
+    bda = jax.ShapeDtypeStruct((B, 4, 4), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(model.init, rng, imgs, mat4, mat3, mat3, vec3, bda)
+    n_params = sum(
+        int(np.prod(s.shape)) for s in jax.tree_util.tree_leaves(shapes)
+    )
+    # ResNet-50 trunk alone is ~23.5M; the full model lands well above.
+    assert n_params > 20_000_000, n_params
