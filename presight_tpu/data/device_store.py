@@ -17,6 +17,16 @@ untouched.
 Reference analog: none — the reference's DataLoader keeps pixel values on
 host and pays the PCIe copy per batch (my_datamanager.py:66-346). This is
 a transfer-layout optimization, not a sampling change.
+
+Under a ``("data",)`` mesh the store tensors are REPLICATED across the
+mesh (they are capped at device_ray_store_mb ≪ HBM) and only
+``ray_index`` is host-sharded on the batch axis; each device gathers its
+batch shard from its full local copy, so the per-step gather needs zero
+ICI traffic and the link still carries only 12 bytes/ray. This is the
+mesh analog of the reference's per-rank DistributedSampler slicing
+(my_datamanager.py:206-219): every chip sees exactly its shard of the
+global batch, bitwise-identical to what shard_batch of the host
+pipeline's values would have placed there.
 """
 
 from __future__ import annotations
@@ -37,7 +47,7 @@ class DeviceRayStore:
     # upload instead of re-shipping ~100 MB per run.
     _cache: Dict[tuple, "DeviceRayStore"] = {}
 
-    def __init__(self, items: List, load_features: bool):
+    def __init__(self, items: List, load_features: bool, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -60,11 +70,20 @@ class DeviceRayStore:
                     feat = np.zeros((n, H * W, f.shape[-1]), np.float32)
                 feat[i] = f
         self.H, self.W = H, W
-        self.rgb = jax.device_put(rgb.reshape(-1, 3))
-        self.sky = jax.device_put(sky.reshape(-1))
-        self.depth = jax.device_put(depth.reshape(-1))
+        self.mesh = mesh
+        self._idx_sharding = None
+        put = jax.device_put
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self._idx_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+            put = lambda a: jax.device_put(a, rep)  # noqa: E731
+        self.rgb = put(rgb.reshape(-1, 3))
+        self.sky = put(sky.reshape(-1))
+        self.depth = put(depth.reshape(-1))
         self.features = (
-            jax.device_put(feat.reshape(-1, feat.shape[-1]))
+            put(feat.reshape(-1, feat.shape[-1]))
             if feat is not None else None
         )
         # The store tensors are jit ARGUMENTS, never closures: closed-over
@@ -85,14 +104,24 @@ class DeviceRayStore:
                 batch["features"] = feat[flat]
             return batch
 
+        # Under a mesh the batch-axis sharding of the output follows the
+        # sharded ray_index input through the gather automatically (the
+        # tables are replicated operands), so no out_shardings pin is
+        # needed — asserted bitwise in tests/test_device_store.py.
         self._gather = jax.jit(gather)
         self._gather_nofeat = jax.jit(lambda rgb, sky, depth, idx:
                                       gather(rgb, sky, depth, None, idx))
 
     def batch(self, ray_index: np.ndarray, with_features: bool) -> Dict:
+        import jax
         import jax.numpy as jnp
 
-        idx = jnp.asarray(ray_index)
+        if self._idx_sharding is not None:
+            # Host-sharded staging: each device receives ONLY its slice of
+            # the 12-byte/ray index array over the host link.
+            idx = jax.device_put(np.asarray(ray_index), self._idx_sharding)
+        else:
+            idx = jnp.asarray(ray_index)
         if with_features:
             return self._gather(self.rgb, self.sky, self.depth,
                                 self.features, idx)
@@ -100,7 +129,7 @@ class DeviceRayStore:
 
     @classmethod
     def maybe_build(cls, items: List, load_features: bool,
-                    cap_mb: int) -> Optional["DeviceRayStore"]:
+                    cap_mb: int, mesh=None) -> Optional["DeviceRayStore"]:
         """Build (or fetch from cache) iff every image shares one (H, W)
         and the staged tensors fit under ``cap_mb``."""
         if not items or cap_mb <= 0:
@@ -134,10 +163,11 @@ class DeviceRayStore:
         # at a different image_downscale_factor must not hit a stale store
         # whose jitted gather bakes in the wrong stride.
         key = (tuple(str(it.image_path) for it in items), load_features,
-               H, W, feat_dim)
+               H, W, feat_dim,
+               None if mesh is None else tuple(d.id for d in mesh.devices.flat))
         store = cls._cache.get(key)
         if store is None:
-            store = cls(items, load_features)
+            store = cls(items, load_features, mesh=mesh)
             # Keep only the most recent store: each entry pins O(100 MB) of
             # HBM for the process lifetime, and iterating over distinct
             # datasets in one process would otherwise accumulate to OOM.

@@ -92,8 +92,10 @@ class TrainerConfig:
     """Stage the whole per-pixel dataset in HBM when it fits under this
     cap and gather batches on-device by ray_index (data/device_store.py):
     only indices cross the host->device link per step, with bitwise-
-    identical batch tensors. 0 disables. Single-device only (under a mesh
-    the batch must be host-sharded across chips)."""
+    identical batch tensors. 0 disables. Under a mesh the store replicates
+    its tables per chip and ships a host-sharded ray_index, so each device
+    gathers exactly its batch shard locally (the DistributedSampler analog,
+    my_datamanager.py:206-219)."""
     vis: str = "local"
     """'+'-joined writer backends from {local, tensorboard, wandb}
     (reference utils/writer.py:299-347; its configs default viewer+wandb).
@@ -273,19 +275,24 @@ class Trainer:
         else:
             self.state = init_train_state(params, self.tx)
 
-        # Device-resident ray store (single-device; see config docstring).
+        # Device-resident ray store. Under a mesh the store replicates its
+        # tables and gathers each device's batch shard locally from a
+        # host-sharded ray_index (device_store.py module docstring).
         self._device_store = None
-        if self.mesh is None and cfg.device_ray_store_mb > 0:
+        if cfg.device_ray_store_mb > 0:
             from ..data.device_store import DeviceRayStore
 
             self._device_store = DeviceRayStore.maybe_build(
                 self.train_outputs.items,
                 pcfg.datamanager.load_features and model_cfg.use_semantics,
                 cfg.device_ray_store_mb,
+                mesh=self.mesh,
             )
             if self._device_store is not None:
-                print("device ray store staged (batch values gathered "
-                      "on-device)", flush=True)
+                where = (f"replicated over {self.num_devices} devices"
+                         if self.mesh is not None else "on-device")
+                print(f"device ray store staged (batch values gathered "
+                      f"{where})", flush=True)
 
         self.start_step = 0
         load_dir = cfg.load_dir
@@ -296,7 +303,8 @@ class Trainer:
         if ckpt is not None:
             # The template (self.state) already carries the mesh shardings,
             # so each leaf restores straight into its final placement.
-            params, opt_state, step = load_checkpoint(ckpt, self.state)
+            params, opt_state, step = load_checkpoint(
+                ckpt, self.state, model_config=self.model_config)
             step_arr = jnp.asarray(step, jnp.int32)
             if self.mesh is not None:
                 from ..parallel import replicate
@@ -343,7 +351,9 @@ class Trainer:
             np_batch = self.datamanager.next_batch()
             batch = self._make_batch(np_batch)
             scalars = self._scalars_at(step)
-            if self.mesh is not None:
+            if self.mesh is not None and self._device_store is None:
+                # The store's gather already produced batch-axis-sharded
+                # tensors; only the host pipeline's values need placing.
                 from ..parallel import shard_batch
 
                 batch = shard_batch(self.mesh, batch)

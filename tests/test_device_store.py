@@ -190,3 +190,97 @@ def test_trainer_trajectory_identical_with_store(scene_dir, tmp_path):
         )))
         tr.datamanager.close()
     assert losses[0] == losses[1]
+
+
+def test_mesh_store_batches_match_host_shard(scene_dir):
+    """Under the 8-device mesh the store replicates its tables, ships a
+    host-sharded ray_index, and each device's gathered shard is bitwise
+    what shard_batch of the host pipeline's values would have placed
+    there (the DistributedSampler analog, my_datamanager.py:206-219)."""
+    import jax
+
+    from presight_tpu.parallel import make_mesh
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    out = _parse(scene_dir)
+    labels = out.predicted_labels[
+        [i for i, it in enumerate(out.all_items) if not it.is_val]
+    ]
+    ds = PixelChunkDataset(out.items, labels, split="train",
+                           load_features=True)
+    dm = DataManager(ds, batch_size=128, seed=3)
+    store = DeviceRayStore.maybe_build(out.items, True, 512, mesh=mesh)
+    assert store is not None and store.mesh is mesh
+    # Distinct cache entry from any single-device store over the same files.
+    single = DeviceRayStore.maybe_build(out.items, True, 512)
+    assert single is not store
+    try:
+        for _ in range(3):
+            np_batch = dm.next_batch()
+            got = store.batch(np_batch[K.RAY_INDEX], True)
+            # Batch axis sharded over the mesh, zero ICI per step.
+            assert "data" in str(got["rgb"].sharding.spec)
+            assert len(got["rgb"].addressable_shards) == 8
+            np.testing.assert_array_equal(np.asarray(got["rgb"]),
+                                          np_batch[K.RGB])
+            np.testing.assert_array_equal(np.asarray(got["sky"]),
+                                          np_batch[K.SKY])
+            np.testing.assert_array_equal(np.asarray(got["depth"]),
+                                          np_batch[K.DEPTH])
+            np.testing.assert_array_equal(np.asarray(got["features"]),
+                                          np_batch[K.FEATURES])
+            # Per-device shard content == the host slice for that device.
+            shard0 = got["rgb"].addressable_shards[0]
+            np.testing.assert_array_equal(np.asarray(shard0.data),
+                                          np_batch[K.RGB][:128 // 8])
+    finally:
+        dm.close()
+
+
+def test_trainer_trajectory_identical_with_store_on_mesh(scene_dir, tmp_path):
+    """Data-parallel run over 8 devices: the sharded store must reproduce
+    the host-pipeline trajectory exactly (same standard as the
+    single-device trajectory test)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.configs.method_configs import method_configs
+    from presight_tpu.engine.trainer import Trainer
+
+    base = method_configs["synthetic-demo"]
+    sums = []
+    for cap in (512, 0):
+        cfg = dataclasses.replace(
+            base,
+            max_num_iterations=4,
+            steps_per_save=1000, steps_per_eval_batch=0,
+            steps_per_eval_image=10 ** 9,
+            device_ray_store_mb=cap,
+            num_devices=8,
+            experiment_name=f"devstore-mesh-{cap}",
+            output_dir=tmp_path, timestamp="t",
+            pipeline=dataclasses.replace(
+                base.pipeline,
+                dataparser=dataclasses.replace(
+                    base.pipeline.dataparser,
+                    data_dir=scene_dir,
+                    centroids_dir=scene_dir / "centroids",
+                ),
+                datamanager=dataclasses.replace(
+                    base.pipeline.datamanager, train_num_rays_per_batch=128
+                ),
+            ),
+        )
+        tr = Trainer(cfg)
+        tr.setup()
+        assert tr.mesh is not None
+        assert (tr._device_store is not None) == (cap > 0)
+        tr.train()
+        sums.append(float(sum(
+            jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(
+                tr.state.params)
+        )))
+    assert sums[0] == sums[1]
