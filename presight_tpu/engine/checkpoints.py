@@ -42,7 +42,10 @@ def save_checkpoint(run_dir: Path, step: int, state, keep_only_latest: bool = Tr
             if f != path:
                 import shutil
 
-                shutil.rmtree(f, ignore_errors=True)
+                if f.is_file():  # imported reference torch checkpoint
+                    f.unlink(missing_ok=True)
+                else:
+                    shutil.rmtree(f, ignore_errors=True)
     return path
 
 
@@ -54,10 +57,52 @@ def latest_checkpoint(run_dir: Path) -> Optional[Path]:
     return ckpts[-1] if ckpts else None
 
 
-def load_checkpoint(path: Path, abstract_state) -> Tuple[Dict, object, int]:
+def load_checkpoint(path: Path, abstract_state,
+                    model_config=None) -> Tuple[Dict, object, int]:
     """Restore (params, opt_state, step) matching an abstract/concrete
-    template state (shape/dtype source)."""
+    template state (shape/dtype source).
+
+    A reference PreSight checkpoint (a torch-pickle FILE, trainer.py:432-460)
+    is detected by path type — ours are orbax DIRECTORIES — and imported via
+    engine/import_reference.py, so eval_setup / ns-eval / ns-render /
+    ns-extract-priors work directly on reference-trained runs: drop the
+    reference's ``step-*.ckpt`` into ``<run_dir>/nerfstudio_models/`` next to
+    one of OUR config.yml files (hash_storage='corner'). Optimizer state has
+    no cross-framework mapping; the template's (fresh) state is returned, so
+    training resume from a reference checkpoint is a warm start."""
     import orbax.checkpoint as ocp
+
+    path = Path(path)
+    if path.is_file():
+        if model_config is None:
+            raise ValueError(
+                f"{path} is a reference torch checkpoint; importing it needs "
+                "the model config (pass model_config=, as Trainer.setup does)"
+            )
+        import torch
+
+        from .import_reference import load_reference_checkpoint
+
+        params = load_reference_checkpoint(path, model_config)
+        tpl = abstract_state.params
+        if jax.tree_util.tree_structure(params) != \
+                jax.tree_util.tree_structure(tpl):
+            raise ValueError(
+                "imported reference checkpoint does not match the model "
+                "config's parameter tree (wrong config for this run?)")
+        # Place each imported leaf where the template leaf lives (mesh
+        # shardings under data-parallel setups, default device otherwise).
+        def _place(x, t):
+            s = getattr(t, "sharding", None)
+            if isinstance(s, jax.sharding.Sharding):
+                return jax.device_put(np.asarray(x), s)
+            return jax.device_put(np.asarray(x))
+
+        params = jax.tree_util.tree_map(_place, params, tpl)
+        raw = torch.load(str(path), map_location="cpu", weights_only=False)
+        m = re.fullmatch(r"step-(\d+)\.ckpt", path.name)
+        step = int(raw.get("step", int(m.group(1)) if m else 0))
+        return params, abstract_state.opt_state, step
 
     ckptr = ocp.StandardCheckpointer()
     template = {

@@ -141,8 +141,9 @@ def variant_model(base, storage: str):
             v = dataclasses.replace(
                 v, log2_hashmap_size=v.log2_hashmap_size + 2)
         return v
-    m = re.fullmatch(r"grid-n48-cap4x-p(\d+)x(\d+)", storage)
+    m = re.fullmatch(r"grid-n(\d+)-cap4x-p(\d+)x(\d+)", storage)
     if m:
+        n_final, p1, p2 = int(m.group(1)), int(m.group(2)), int(m.group(3))
         # The adopted round-3c profile (grid + n48 + cap4x) with BOTH
         # proposal-round counts set ABSOLUTELY to (p1, p2). This is the
         # proposal-quadrature sweep: with the final count settled, the
@@ -156,8 +157,8 @@ def variant_model(base, storage: str):
         # control (p16x16) that must degrade for the fixture to have
         # power on this axis.
         v = dataclasses.replace(
-            variant_model(base, "grid-s64-n48-cap4x"),
-            num_proposal_samples_per_ray=(int(m.group(1)), int(m.group(2))),
+            variant_model(base, f"grid-s64-n{n_final}-cap4x"),
+            num_proposal_samples_per_ray=(p1, p2),
         )
         return v
     if storage == "grid-s64-cap4x":

@@ -51,10 +51,10 @@ def _stub(name, **attrs):
     sys.modules.setdefault(name, mod)
 
 
-@pytest.fixture(scope="module")
-def reference_city_prior():
-    if not REF.exists():
-        pytest.skip("reference checkout unavailable")
+def load_reference_city_prior():
+    """Import the reference's city_prior.py with its unused heavy deps
+    stubbed (plain function so other tests — e.g. the end-to-end
+    reference-checkpoint workflow — can reuse the executed loader)."""
     # Module-level imports NuscPrior never calls: shapely geometry helpers,
     # the nuScenes map API, IPython. pyquaternion.Quaternion IS called —
     # stubbed with the standard formula above.
@@ -74,6 +74,13 @@ def reference_city_prior():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+@pytest.fixture(scope="module")
+def reference_city_prior():
+    if not REF.exists():
+        pytest.skip("reference checkout unavailable")
+    return load_reference_city_prior()
 
 
 def _write_prior_pickle(root: Path, city: str = "demo", n: int = 400,
