@@ -201,13 +201,18 @@ def extract_voxels(
     """Full extraction (extract_priors.py:33-208). `depth_type` 'depth' is
     the reference's default CLI value mapped onto our output names.
 
-    ``streaming=True`` (default) accumulates per-frame voxel partial sums in
-    a hash map (native C++ or numpy) so peak host memory is O(voxels) — the
-    reference's one-shot Open3D pass needs up to 300 GB at full scale
-    (docs/building_priors.md:65). ``streaming=False`` keeps the
-    accumulate-then-voxelize path; both share the same camera-geometry
-    min_bound and produce byte-identical voxels (arrival-order f64 sums,
-    see voxelize.StreamingVoxelAccumulator)."""
+    ``streaming=True`` (default) runs two phases: per-frame render +
+    density-threshold with the filtered points/colors/features SPILLED to a
+    temp dir (tracking the running point minimum), then the voxel grid
+    origin is fixed at the reference's exact ``min(points) - 1.0``
+    (extract_priors.py:236-240, float32 like the reference's numpy math)
+    and the spilled frames fold into the O(voxels) hash accumulator. Peak
+    host memory stays O(voxels) + O(one frame); disk holds the thresholded
+    points once; no render work repeats. ``streaming=False`` keeps the
+    accumulate-then-voxelize path with the SAME bound, so both paths
+    produce byte-identical voxels bucketed exactly as the reference's
+    Open3D pass would (arrival-order f64 sums, see
+    voxelize.StreamingVoxelAccumulator)."""
     import jax
     import jax.numpy as jnp
 
@@ -238,24 +243,23 @@ def extract_voxels(
             range(CAMERAS_PER_FRAME * f, min(CAMERAS_PER_FRAME * (f + 1), len(items)))
         )
 
-    # The voxel grid offset. The reference derives it from the collected
-    # points (min - 1.0, extract_priors.py:236-240) which forces holding
-    # everything; we fix it up front from camera geometry (every hit point
-    # is origin + dir * depth with depth < max_depth, so the per-axis
-    # minimum over unscaled origins minus max_depth bounds all points) and
-    # use the SAME bound for both the streaming and one-shot paths.
-    used_origins = (
-        np.asarray(cameras.c2w[np.asarray(camera_indices, np.int64), :3, 3])
-        / pose_scale_factor
-    )
-    min_bound = used_origins.min(axis=0) - max_depth - 1.0
-
+    # The voxel grid offset is the reference's exact
+    # ``thresholded_points.min(0) - 1.0`` (extract_priors.py:236-240; the
+    # reference's numpy math is float32, mirrored below). It depends on the
+    # whole point set, so the streaming path spills thresholded per-frame
+    # points to a temp dir during phase A and folds them into the
+    # accumulator in phase B once the bound is known — O(voxels) + O(frame)
+    # host memory, no repeated rendering.
     feat_dim = config.semantic_dim
     prop_grid = make_prop_grid(params, config)
-    accum = (
-        make_streaming_accumulator(voxel_size, min_bound, feature_dim=feat_dim)
-        if streaming else None
-    )
+    spill_ctx = spill_dir = None
+    spill_frames: List[Path] = []
+    pts_min: Optional[np.ndarray] = None
+    if streaming:
+        import tempfile
+
+        spill_ctx = tempfile.TemporaryDirectory(prefix="presight_extract_")
+        spill_dir = Path(spill_ctx.name)
     all_points, all_dens, all_feats = [], [], []
     n_before = 0
     n_after = 0
@@ -281,17 +285,24 @@ def extract_voxels(
             continue
         pts, dens, feats = result
         if streaming:
-            # Density threshold + colors per frame, then fold into the
-            # O(voxels) accumulator — raw hit points never accumulate on
-            # the host.
+            # Phase A: density threshold + colors per frame, spill to disk
+            # and track the running point minimum — raw hit points never
+            # accumulate on the host.
             n_before += len(dens)
             sel = dens > density_threshold
             n_after += int(sel.sum())
             pts_s, feats_s = pts[sel], feats[sel]
+            if len(pts_s) == 0:
+                continue
             colors_s = np.asarray(
                 apply_feature_colormap(feats_s.astype(np.float32), dino_to_rgb)
             )
-            accum.add(pts_s.astype(np.float64), colors_s, feats_s)
+            fpath = spill_dir / f"frame_{len(spill_frames):06d}.npz"
+            np.savez(fpath, points=pts_s.astype(np.float32),
+                     colors=colors_s, features=feats_s)
+            spill_frames.append(fpath)
+            m = pts_s.astype(np.float32).min(axis=0)
+            pts_min = m if pts_min is None else np.minimum(pts_min, m)
         else:
             all_points.append(pts)
             all_dens.append(dens)
@@ -300,7 +311,20 @@ def extract_voxels(
     if streaming:
         print(f"num hit points before density thr: {n_before}")
         print(f"num hit points after density thr: {n_after}")
+        # Phase B: reference-exact grid origin, then fold the spilled
+        # frames into the O(voxels) accumulator.
+        min_bound = (
+            pts_min - np.float32(1.0)
+            if pts_min is not None else np.zeros(3, np.float32)
+        )
+        accum = make_streaming_accumulator(voxel_size, min_bound,
+                                           feature_dim=feat_dim)
+        for fpath in spill_frames:
+            with np.load(fpath) as z:
+                accum.add(z["points"].astype(np.float64), z["colors"],
+                          z["features"])
         voxels = accum.finalize()
+        spill_ctx.cleanup()
     else:
         points = np.concatenate(all_points) if all_points else np.zeros((0, 3), np.float32)
         dens = np.concatenate(all_dens) if all_dens else np.zeros((0,), np.float32)
@@ -312,6 +336,12 @@ def extract_voxels(
         print(f"num hit points after density thr: {int(sel.sum())}")
         points, feats = points[sel], feats[sel]
         colors = np.asarray(apply_feature_colormap(feats.astype(np.float32), dino_to_rgb))
+        # Same float32 bound math as the reference (and as phase B above),
+        # so one-shot and streaming stay byte-identical.
+        min_bound = (
+            points.astype(np.float32).min(axis=0) - np.float32(1.0)
+            if len(points) else np.zeros(3, np.float32)
+        )
         voxels = voxel_downsample(
             points.astype(np.float64), voxel_size, colors=colors, features=feats,
             min_bound=min_bound,
