@@ -21,6 +21,10 @@ _setup_jax()
 
 BASELINE_RAYS_PER_SEC = 91_022.0  # 65536 * 100000 / 72000s, 1x A100
 
+# The shipped -tpu profile's rung (ladder[0]); the drift-guard test pins
+# bench.build(HEADLINE) to the -tpu method configs.
+HEADLINE = "grid-n48-cap4x-p64x32"
+
 
 def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str = "corner"):
     import jax
@@ -43,18 +47,25 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         piecewise_sampler_threshold=100.0 * pose_rescale,
         pose_scale_factor=pose_rescale,
     )
-    if storage == "grid-n48-cap4x":
+    if storage in ("grid-n48-cap4x", "grid-n48-cap4x-p64x32"):
         # grid-lean4-s64 + 48 final samples + 4x shared main-table rows
         # (QUALITY gates 'grid-s64-n48'/'-cap4x'/both combined, plus the
         # corrected final-quadrature sweep with the n12 sensitivity
         # control — QUALITY.md round 3c). ~77% of the fused step scales
         # with the final count; the capacity bump measured free.
+        # The -p64x32 variant (round-4 headline) additionally cuts the
+        # SECOND proposal round 64 -> 32: the round-4 proposal-quadrature
+        # sweep showed the round-2 axis is quality-free down to 32 (depth
+        # RMSE 3.95-3.97 vs the 3.89-4.03 baseline band over 3-5 seeds)
+        # while round-1 cuts cost depth (p32x64 +0.43 m disjoint; the
+        # p16x16 control +1.65 m) — QUALITY.md round 4.
         config = NerfactoNuscMSConfig(
             hash_storage="shared", prop_shared_mlp=True, remat=False,
             log2_hashmap_size=17, num_levels=4,
             features_per_level=10,
             prop_grid_res=64,
-            num_proposal_samples_per_ray=(64, 64),
+            num_proposal_samples_per_ray=(
+                (64, 32) if storage.endswith("p64x32") else (64, 64)),
             num_nerf_samples_per_ray=48,
             proposal_net_args_list=(
                 dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
@@ -203,6 +214,7 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         microbatch_rays={"shared-profile": 16384, "grid-profile": 16384,
                          "grid-lean4": 16384, "grid-lean4-s64": 1024,
                          "grid-n48-cap4x": 1024,
+                         "grid-n48-cap4x-p64x32": 1024,
                          "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)
@@ -310,14 +322,15 @@ def main():
     # rung is the reference-exact table layout, reported alongside.
     ladder = [
         # Headline at the reference's real batch size (65,536 rays/step).
+        (HEADLINE, 16, 15, 65536),
         ("grid-n48-cap4x", 16, 15, 65536),
-        ("grid-lean4-s64", 16, 15, 65536),
         ("corner", 8, 18, 4096),
     ]
     spreads = {}
     for storage, num_experts, log2, num_rays in ladder:
         try:
-            big = storage in ("grid-n48-cap4x", "grid-lean4-s64", "grid-lean4",
+            big = storage in ("grid-n48-cap4x-p64x32", "grid-n48-cap4x",
+                              "grid-lean4-s64", "grid-lean4",
                               "grid-profile", "shared-profile")
             rays_per_sec, rates, step_time, loss = bench_config(
                 num_experts, log2, num_rays,

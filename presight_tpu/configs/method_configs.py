@@ -192,7 +192,14 @@ def _tpu_profile(cfg: TrainerConfig) -> TrainerConfig:
         # oversample it — 64 halves the largest per-step row count at
         # quality indistinguishable from 128 across 3 seeds.
         prop_grid_res=64,
-        num_proposal_samples_per_ray=(64, 64),
+        # Round-2 (fine prop) samples 64 -> 32: the round-4 proposal-
+        # quadrature sweep showed the two rounds are NOT symmetric — the
+        # grid round localizes the surface from the full ray domain (cutting
+        # it degrades depth: p32x64 +0.43 m disjoint; the p16x16 control
+        # +1.65 m) while the fine round only refines inside that band and
+        # is quality-free down to 32 (depth RMSE 3.95-3.97 vs the baseline's
+        # 3.89-4.03 seed band; PSNR/SSIM dead-even). QUALITY.md round 4.
+        num_proposal_samples_per_ray=(64, 32),
         # 48 final (render) samples: ~77% of the fused step scales with
         # this count. Gated by the round-3c quadrature sweep — n48 holds
         # PSNR, SSIM AND depth RMSE inside the n64 baseline's seed noise

@@ -30,8 +30,14 @@ def generate_scene(
     width: int = 80,
     feature_dim: int = 64,
     seed: int = 0,
+    texture_detail: float = 0.0,
 ) -> Path:
-    """Create a synthetic two-scene 'city' with 6 cameras per frame."""
+    """Create a synthetic two-scene 'city' with 6 cameras per frame.
+
+    ``texture_detail`` > 0 superimposes high-frequency pixel-keyed texture
+    on the smooth gradients: every extra octave of image detail demands
+    fine-level hash capacity, so the dense fixture can make demo-sized
+    tables measurably collide (QUALITY.md capacity study)."""
     from PIL import Image
 
     root = Path(root)
@@ -96,6 +102,11 @@ def generate_scene(
                     0.5 + 0.4 * np.cos(yy / height * 2 + f * 0.3),
                     0.4 + 0.3 * np.sin((xx + yy) / (width + height) * 4 + si),
                 ], axis=-1)
+                if texture_detail > 0:
+                    hf = (np.sin(xx * 0.9 + yaw * 5 + f * 2.1)
+                          * np.cos(yy * 0.7 + si * 3)
+                          + 0.5 * np.sin(xx * 2.3 - yy * 1.7 + f))
+                    img += texture_detail * 0.18 * hf[..., None]
                 Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(img_path)
 
                 # Segmentation: sky at top 1/4, a 'car' blob, road elsewhere.

@@ -171,6 +171,25 @@ def variant_model(base, storage: str):
         return dataclasses.replace(
             v, log2_hashmap_size=v.log2_hashmap_size + 2,
         )
+    m = re.fullmatch(r"shared-cap(\d+)x", storage)
+    if m:
+        # shared-rebalanced with N x the table rows (log2 + log2 N) in BOTH
+        # the main and proposal tables. NOT matched params — the capacity
+        # axis of the dense-fixture collision study: shared capacity is
+        # measured near-free on TPU (PERFORMANCE.md cap probes), so if
+        # scaling it closes the corner-vs-shared gap the demo-cap caveat is
+        # bought down at known cost.
+        mult = int(m.group(1))
+        extra = mult.bit_length() - 1
+        assert 1 << extra == mult, "capNx must be a power of two"
+        v = variant_model(base, "shared-rebalanced")
+        return dataclasses.replace(
+            v, log2_hashmap_size=v.log2_hashmap_size + extra,
+            proposal_net_args_list=tuple(
+                dict(a, log2_hashmap_size=a["log2_hashmap_size"] + extra)
+                for a in v.proposal_net_args_list
+            ),
+        )
     if storage == "prop-grid":
         # prop-lean + the cached-density-grid first proposal round
         # (fields/prop_field.py prop_grid_density): round 1 reads a dense
@@ -304,12 +323,28 @@ def main(argv=None) -> int:
                         help="generate/use the harder synthetic fixture "
                              "(4 scenes x 16 frames, larger images) under "
                              "data/synthetic_hard")
+    parser.add_argument("--dense-fixture", action="store_true",
+                        help="generate/use the dense-texture fixture (4 "
+                             "scenes x 16 frames, 90x156, high-frequency "
+                             "texture) under data/synthetic_dense — sized "
+                             "to make demo-cap hash tables collide for the "
+                             "capacity study")
     args = parser.parse_args(argv)
 
     from ..data.synthetic import generate_scene
 
     data_dir = None
-    if args.hard_fixture:
+    if args.dense_fixture:
+        root = Path("data/synthetic_dense")
+        if not (root / "centroids").exists():
+            generate_scene(
+                root,
+                scene_names=("scene-0001", "scene-0002", "scene-0003",
+                             "scene-0004"),
+                num_frames=16, height=90, width=156, texture_detail=1.0,
+            )
+        data_dir = root
+    elif args.hard_fixture:
         root = Path("data/synthetic_hard")
         if not (root / "centroids").exists():
             generate_scene(

@@ -79,7 +79,7 @@ def test_bench_headline_matches_tpu_profile():
     # Shape-only build: patch out the heavy parts? Not needed — bench.build
     # allocates concrete tables (~200 MB at log2 17), acceptable once.
     tpu_cfg = method_configs["boston-seaport-camera-dino-c0-tpu"].pipeline.model
-    *_, bench_cfg = bench.build(2, 15, 256, "grid-n48-cap4x")
+    *_, bench_cfg = bench.build(2, 15, 256, bench.HEADLINE)
     for field in (
         "hash_storage", "prop_shared_mlp", "log2_hashmap_size", "num_levels",
         "features_per_level", "prop_grid_res", "num_proposal_samples_per_ray",
