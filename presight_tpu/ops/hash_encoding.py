@@ -33,6 +33,7 @@ Design notes (TPU):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -155,6 +156,61 @@ def init_hash_table(
     return (u * 2.0 - 1.0) * config.hash_init_scale
 
 
+# Backward-scatter regime threshold, in bytes of the scatter OUTPUT (the
+# gradient table). Measured on v5e (scripts_dev/probe_scatter_big.py,
+# K-differenced): a 49k-row, 80-float scatter-add into a 2^17 x 80 table
+# (42 MB) costs < 0.1 ms, while the SAME scatter into 2^19 x 80 (168 MB)
+# costs 3.72 ms/app — XLA's scatter lowering leaves its fast regime
+# somewhere between those sizes. Pre-sorting the indices cuts the big-table
+# case to 1.30 ms (the argsort + gather of 49k rows is free at this size),
+# but sorted scatter measured slightly SLOWER at small tables
+# (scripts_dev/profile_scatter_variants.py), so the sorted backward only
+# engages above this threshold. 64 MB sits between the two measured points.
+_SORTED_GRAD_MIN_BYTES = 64 * 2**20
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_rows_sorted_grad(n_rows: int, tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """tbl[idx] whose transpose scatter-adds in index-sorted order.
+
+    Forward-identical to a plain gather. The backward argsorts the flat
+    index vector, gathers the cotangent rows into sorted order, and
+    scatter-adds with indices_are_sorted=True — 2.9x faster than XLA's
+    default gather transpose once the gradient table exceeds the fast
+    scatter regime (see _SORTED_GRAD_MIN_BYTES). Gradient values differ
+    from the unsorted scatter only by float summation order.
+    """
+    return tbl[idx]
+
+
+def _gather_rows_sorted_grad_fwd(n_rows, tbl, idx):
+    return tbl[idx], idx
+
+
+def _gather_rows_sorted_grad_bwd(n_rows, idx, g):
+    flat_idx = idx.reshape(-1)
+    flat_g = g.reshape(flat_idx.shape[0], g.shape[-1])
+    order = jnp.argsort(flat_idx)
+    grad_tbl = (
+        jnp.zeros((n_rows, g.shape[-1]), g.dtype)
+        .at[flat_idx[order]]
+        .add(flat_g[order], indices_are_sorted=True)
+    )
+    return grad_tbl, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_gather_rows_sorted_grad.defvjp(
+    _gather_rows_sorted_grad_fwd, _gather_rows_sorted_grad_bwd
+)
+
+
+def _gather_rows(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row gather that picks the backward-scatter strategy by table size."""
+    if tbl.shape[0] * tbl.shape[-1] * tbl.dtype.itemsize > _SORTED_GRAD_MIN_BYTES:
+        return _gather_rows_sorted_grad(tbl.shape[0], tbl, idx)
+    return tbl[idx]
+
+
 def trilerp_weights(offset: jnp.ndarray) -> jnp.ndarray:
     """In-cell offsets (..., 3) in [0, 1] -> (..., 8) trilinear corner
     weights in _CORNER_BITS order (bit=1 selects the +1 corner on that
@@ -233,7 +289,7 @@ def hash_encode(
             if emix is not None:
                 h = h ^ emix
             idx = (h & jnp.uint32(T - 1)).astype(jnp.int32)
-            rows = table[l][idx].astype(positions.dtype)  # (..., 8*F)
+            rows = _gather_rows(table[l], idx).astype(positions.dtype)  # (..., 8*F)
             rows = rows.reshape(*rows.shape[:-1], 8, F)
             outs.append(jnp.sum(rows * w[..., l, :, None], axis=-2))  # (..., F)
         return jnp.concatenate(outs, axis=-1)
@@ -246,7 +302,7 @@ def hash_encode(
         idx = _hash_corners(fl, T) + level_offset[..., 0]  # (..., L)
         if expert_ids is not None:
             idx = idx + (expert_ids.astype(jnp.int32) * (L * T))[..., None]
-        rows = table[idx].astype(positions.dtype)  # (..., L, 8*F)
+        rows = _gather_rows(table, idx).astype(positions.dtype)  # (..., L, 8*F)
         rows = rows.reshape(*rows.shape[:-1], 8, F)
         out = jnp.sum(rows * w[..., None], axis=-2)  # (..., L, F)
         return out.reshape(*out.shape[:-2], L * F)
@@ -261,7 +317,7 @@ def hash_encode(
     if expert_ids is not None:
         idx = idx + (expert_ids.astype(jnp.int32) * (L * T))[..., None, None]
 
-    feats = table[idx]  # (..., L, 8, F)
+    feats = _gather_rows(table, idx)  # (..., L, 8, F)
     feats = feats.astype(positions.dtype)
 
     out = jnp.sum(feats * w[..., None], axis=-2)  # (..., L, F)

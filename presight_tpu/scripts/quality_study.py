@@ -171,6 +171,26 @@ def variant_model(base, storage: str):
         return dataclasses.replace(
             v, log2_hashmap_size=v.log2_hashmap_size + 2,
         )
+    m = re.fullmatch(r"shared-raw-cap(\d+)x", storage)
+    if m:
+        # `shared` (the UN-rebalanced 6x2 level split) with N x the table
+        # rows in both main and proposal tables. Attribution arm for the
+        # dense-fixture study: shared-capNx confounds two axes (leaf
+        # sharing + the halve-levels/double-features rebalance); this arm
+        # scales capacity while keeping corner's exact level/feature
+        # split, so a depth-RMSE gap that persists here is a sharing/
+        # collision effect and one that vanishes is a rebalance effect.
+        mult = int(m.group(1))
+        extra = mult.bit_length() - 1
+        assert 1 << extra == mult, "capNx must be a power of two"
+        v = variant_model(base, "shared")
+        return dataclasses.replace(
+            v, log2_hashmap_size=v.log2_hashmap_size + extra,
+            proposal_net_args_list=tuple(
+                dict(a, log2_hashmap_size=a["log2_hashmap_size"] + extra)
+                for a in v.proposal_net_args_list
+            ),
+        )
     m = re.fullmatch(r"shared-cap(\d+)x", storage)
     if m:
         # shared-rebalanced with N x the table rows (log2 + log2 N) in BOTH

@@ -85,3 +85,40 @@ def test_hash_encode_positions_gradient():
     pos = jnp.asarray(np.random.RandomState(0).rand(4, 3).astype(np.float32) * 0.8 + 0.1)
     g = jax.grad(lambda p: jnp.sum(hash_encode(table, p, cfg)))(pos)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_sorted_grad_gather_matches_plain(monkeypatch):
+    """The big-table backward (argsort + indices_are_sorted scatter,
+    _gather_rows_sorted_grad) must produce the same table gradient as XLA's
+    default gather transpose — it may differ only by float summation order
+    across duplicate indices. Forced on by zeroing the byte threshold; run
+    across all three storage layouts, with expert routing and duplicate
+    positions so collisions exercise the accumulate path."""
+    from presight_tpu.ops import hash_encoding as he
+
+    rng = np.random.RandomState(7)
+    pos_np = rng.rand(64, 3).astype(np.float32)
+    pos_np[32:] = pos_np[:32]  # duplicates -> colliding scatter indices
+    pos = jnp.asarray(pos_np)
+    eids = jnp.asarray(rng.randint(0, 2, 64).astype(np.int32))
+    coeff = jnp.asarray(rng.rand(64, 8).astype(np.float32))
+
+    for storage in ("shared", "cell", "corner"):
+        cfg = HashEncodingConfig(
+            num_levels=2, min_res=4, max_res=16, log2_hashmap_size=8,
+            features_per_level=4, storage=storage)
+        table = init_hash_table(jax.random.PRNGKey(0), cfg, num_experts=2)
+
+        def loss(t):
+            out = hash_encode(t, pos, cfg, expert_ids=eids)
+            return jnp.sum(out * coeff)
+
+        monkeypatch.setattr(he, "_SORTED_GRAD_MIN_BYTES", 1 << 60)
+        g_plain = jax.grad(loss)(table)
+        monkeypatch.setattr(he, "_SORTED_GRAD_MIN_BYTES", 0)
+        g_sorted = jax.grad(loss)(table)
+
+        for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_sorted)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+                err_msg=f"storage={storage}")
