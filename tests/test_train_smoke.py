@@ -180,3 +180,50 @@ def test_smoke_train_loss_decreases():
     early = np.mean(losses[:5])
     late = np.mean(losses[-5:])
     assert late < early, (early, late, losses)
+
+
+def test_smoke_train_with_sorted_grad_gather(monkeypatch):
+    """Force the big-table sorted-transpose gather (hash_encoding.
+    _gather_rows_sorted_grad, normally gated on a 64 MB gradient-table
+    threshold) through the FULL jitted train step — shared storage,
+    microbatched, remat on — so the custom_vjp's composition with scan/
+    remat/donation is covered, not just its bare gradient parity."""
+    from presight_tpu.ops import hash_encoding as he
+
+    monkeypatch.setattr(he, "_SORTED_GRAD_MIN_BYTES", 0)
+    config = tiny_config(hash_storage="shared", prop_shared_mlp=True)
+    aabbs = np.array([[[-10, -10, -10], [10, 10, 10]]], np.float32)
+    centroids = np.zeros((1, 3), np.float32)
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids, 4, 1)
+    cameras = synthetic_scene()
+
+    groups = {
+        "proposal_networks": OptimizerGroupConfig(lr=1e-2, max_steps=100,
+                                                  warmup_steps=10),
+        "fields": OptimizerGroupConfig(lr=1e-2, max_steps=100,
+                                       warmup_steps=10),
+    }
+    tx = make_optimizer(groups, param_groups(params))
+    state = init_train_state(params, tx)
+    steps = TrainStepPair(config, tx, microbatch_rays=32)
+    sched = ProposalUpdateSchedule(config)
+
+    rng = np.random.RandomState(0)
+    losses = []
+    key = jax.random.PRNGKey(42)
+    for step in range(12):
+        batch = make_batch(cameras, 64, rng)
+        key, sub = jax.random.split(key)
+        scalars = StepScalars(
+            anneal=jnp.asarray(anneal_at(config, step), jnp.float32),
+            sigma=jnp.asarray(line_of_sight_sigma_at(config, step), jnp.float32),
+            los_mult=jnp.asarray(line_of_sight_mult_at(config, step), jnp.float32),
+        )
+        updated = sched.updated(step)
+        state, metrics = steps(state, cameras, batch, sub, scalars,
+                               stop_prop_grad=not updated)
+        sched.step_cb(step, updated)
+        losses.append(float(metrics["total_loss"]))
+
+    assert np.isfinite(losses).all(), losses
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
