@@ -168,6 +168,14 @@ def init_hash_table(
 # engages above this threshold. 64 MB sits between the two measured points.
 _SORTED_GRAD_MIN_BYTES = 64 * 2**20
 
+# Upper bound on scatter rows for the sorted backward. The argsort is free
+# at the shared profile's row counts (49k-393k rows) but does NOT pay for
+# itself at the corner layout's fused all-level gather (~15.7M rows/call:
+# bench corner rung measured 3072 -> 4098 ms/step with sorting always on).
+# 2^20 sits above every shared-profile row count (microbatch 8192 x 48
+# samples = 393k) and well below the measured-regression regime.
+_SORTED_GRAD_MAX_ROWS = 2**20
+
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_rows_sorted_grad(n_rows: int, tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -205,8 +213,13 @@ _gather_rows_sorted_grad.defvjp(
 
 
 def _gather_rows(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row gather that picks the backward-scatter strategy by table size."""
-    if tbl.shape[0] * tbl.shape[-1] * tbl.dtype.itemsize > _SORTED_GRAD_MIN_BYTES:
+    """Row gather that picks the backward-scatter strategy by table size
+    (sorted pays off only past the slow-scatter regime) and by row count
+    (the argsort stops paying for itself at multi-million-row scatters)."""
+    if (
+        tbl.shape[0] * tbl.shape[-1] * tbl.dtype.itemsize > _SORTED_GRAD_MIN_BYTES
+        and idx.size <= _SORTED_GRAD_MAX_ROWS
+    ):
         return _gather_rows_sorted_grad(tbl.shape[0], tbl, idx)
     return tbl[idx]
 
