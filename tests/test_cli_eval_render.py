@@ -73,3 +73,46 @@ def test_render_cli(run_dir, tmp_path):
     assert rgb_path.exists() and depth_path.exists()
     rgb = np.asarray(Image.open(rgb_path))
     assert rgb.ndim == 3 and rgb.shape[2] == 3 and rgb.shape[0] > 0
+
+
+def test_export_pointcloud_cli(run_dir, tmp_path):
+    """ns-export pointcloud (exporter.py:93-165 analog): backprojected
+    colored world points land in a parseable PLY, all inside the depth
+    band, colors valid."""
+    from presight_tpu.scripts import export as export_cli
+
+    rc = export_cli.main([
+        "pointcloud", str(run_dir), "--output-dir", str(tmp_path),
+        "--num-points", "500", "--nb-points", "5", "--std-ratio", "10.0",
+    ])
+    assert rc == 0
+    ply = (tmp_path / "point_cloud.ply").read_text().splitlines()
+    n = int(next(l for l in ply if l.startswith("element vertex")).split()[-1])
+    assert 0 < n <= 500
+    body = ply[ply.index("end_header") + 1:]
+    assert len(body) == n
+    xyz_rgb = np.array([[float(v) for v in l.split()] for l in body])
+    assert np.isfinite(xyz_rgb[:, :3]).all()
+    assert ((xyz_rgb[:, 3:] >= 0) & (xyz_rgb[:, 3:] <= 255)).all()
+
+
+def test_export_cameras_cli(run_dir, tmp_path):
+    """ns-export cameras (exporter.py:422-446 analog): per-camera metric
+    c2w + intrinsics JSON."""
+    from presight_tpu.scripts import export as export_cli
+
+    rc = export_cli.main([
+        "cameras", str(run_dir), "--output-dir", str(tmp_path)])
+    assert rc == 0
+    frames = json.loads((tmp_path / "camera_poses.json").read_text())["frames"]
+    assert len(frames) > 0
+    f0 = frames[0]
+    assert np.asarray(f0["camera_to_world"]).shape == (3, 4)
+    assert f0["fx"] > 0 and f0["fy"] > 0
+
+
+def test_export_mesh_subcommands_report_out_of_scope(run_dir):
+    from presight_tpu.scripts import export as export_cli
+
+    with pytest.raises(SystemExit):
+        export_cli.main(["poisson", str(run_dir)])
