@@ -62,7 +62,15 @@ def _export_pointcloud(args) -> int:
 
     pts, cols = [], []
     n_have = 0
+    max_batches = max(64, 20 * (args.num_points // chunk + 1))
+    n_batches = 0
     while n_have < args.num_points:
+        n_batches += 1
+        if n_batches > max_batches:
+            print(f"warning: stopping after {max_batches} ray batches with "
+                  f"only {n_have}/{args.num_points} points — the depth band "
+                  f"/ bounding box rejects almost every ray")
+            break
         cam = rng.randint(0, len(items), chunk)
         row = rng.randint(0, 2**31 - 1, chunk)
         col = rng.randint(0, 2**31 - 1, chunk)
