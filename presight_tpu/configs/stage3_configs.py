@@ -119,6 +119,9 @@ def _smn_reference():
         num_z_anchors=4,                # num_points_in_pillar :111
         backbone="resnet",
         dcn=True,                       # DCNv2 stage_with_dcn :93-94
+        enc_layers=1,                   # BEVFormerEncoder num_layers :109
+        dec_layers=6,                   # MapTransformerDecoder_new :172
+        num_heads=8,                    # :182,189 + mmcv deformable default
         prior_pc_range=_MAP_PRIOR_PC_RANGE,
         prior_voxel_size=_MAP_PRIOR_VOXEL_SIZE,
         prior_voxel_channels=68,
@@ -134,13 +137,16 @@ def _smn_toy():
 
 def _raster_reference():
     """RasterMapper baseline (nusc_raster_wcamprior_480_100x50_24e_
-    randomdrop.py): same backbone/BEV scale as smn, per-pixel
-    multi-label segmentation head."""
+    randomdrop.py:36-103): the SAME BEVFormerBackbone as smn (ResNet-50 +
+    DCNv2 stages 3-4, 3 FPN levels, bev 50x100, 4 z anchors, 1 encoder
+    layer, 8 heads), per-pixel multi-label segmentation head."""
     from ..mapping import RasterMapper
 
     return RasterMapper(
         bev_hw=(50, 100), roi_size=_MAP_ROI_SIZE, img_size=(480, 800),
         embed_dim=256, num_classes=3,
+        num_levels=3, num_z_anchors=4,
+        backbone="resnet", dcn=True, enc_layers=1, num_heads=8,
         prior_pc_range=_MAP_PRIOR_PC_RANGE,
         prior_voxel_size=_MAP_PRIOR_VOXEL_SIZE,
         prior_voxel_channels=68,

@@ -27,25 +27,71 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bilinear_sample(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
-    """feat (H, W, C); px/py (...,) pixel coords -> (..., C), zero padded."""
+def pack_bilinear_cells(feat: jnp.ndarray) -> jnp.ndarray:
+    """feat (H, W, C) -> packed (H+1, W+1, 4C).
+
+    Row (y0+1, x0+1) holds the 2x2 bilinear neighborhood of floor
+    coordinate (y0, x0) — [f(y0,x0), f(y0,x0+1), f(y0+1,x0),
+    f(y0+1,x0+1)] — with zeros outside the map. ONE row gather then
+    serves all four corners of a bilinear sample. Measured on v5e, XLA
+    row-gather cost is per ROW (PERFORMANCE.md round-3 primitive table),
+    so this quarters the gather count that dominates every deformable-
+    attention / DCN / stereo-cost-volume sampler; the packing itself is
+    four shifted slices (pure bandwidth, vectorized)."""
     H, W, C = feat.shape
+    fp = jnp.pad(feat, ((1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [fp[0:H + 1, 0:W + 1], fp[0:H + 1, 1:W + 2],
+         fp[1:H + 2, 0:W + 1], fp[1:H + 2, 1:W + 2]], axis=-1)
+
+
+def bilinear_sample_packed(packed: jnp.ndarray, px: jnp.ndarray,
+                           py: jnp.ndarray) -> jnp.ndarray:
+    """packed (H+1, W+1, 4C) from pack_bilinear_cells; px/py (...,) pixel
+    coords -> (..., C), zero padding outside [0, W) x [0, H). Arithmetic
+    is corner-for-corner identical to the unpacked sampler."""
+    Hp, Wp, C4 = packed.shape
+    H, W, C = Hp - 1, Wp - 1, C4 // 4
     x0 = jnp.floor(px).astype(jnp.int32)
     y0 = jnp.floor(py).astype(jnp.int32)
     wx = px - x0
     wy = py - y0
+    rows = packed[jnp.clip(y0 + 1, 0, H), jnp.clip(x0 + 1, 0, W)]
 
-    def tap(yy, xx):
+    def corner(k, yy, xx, w):
         valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-        v = feat[jnp.clip(yy, 0, H - 1), jnp.clip(xx, 0, W - 1)]
-        return v * valid[..., None].astype(feat.dtype)
+        v = rows[..., k * C:(k + 1) * C] * valid[..., None].astype(packed.dtype)
+        return v * w[..., None]
 
     return (
-        tap(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
-        + tap(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
-        + tap(y0 + 1, x0) * (wy * (1 - wx))[..., None]
-        + tap(y0 + 1, x0 + 1) * (wy * wx)[..., None]
+        corner(0, y0, x0, (1 - wy) * (1 - wx))
+        + corner(1, y0, x0 + 1, (1 - wy) * wx)
+        + corner(2, y0 + 1, x0, wy * (1 - wx))
+        + corner(3, y0 + 1, x0 + 1, wy * wx)
     )
+
+
+def bilinear_sample(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """feat (H, W, C); px/py (...,) pixel coords -> (..., C), zero padded."""
+    return bilinear_sample_packed(pack_bilinear_cells(feat), px, py)
+
+
+def deformable_taps(value_heads: jnp.ndarray, px: jnp.ndarray,
+                    py: jnp.ndarray) -> jnp.ndarray:
+    """Per-head deformable sampling: value_heads (H, W, Hh, hd); px/py
+    (Q, Hh, P) per-head pixel coords -> (Q, Hh, P, hd), where head h is
+    sampled at its OWN locations from its OWN channel slice.
+
+    Replaces the sample-all-heads-then-take-the-diagonal formulation:
+    same tap count, but each gathered row is hd wide instead of Hh*hd —
+    an Hh-fold cut of gathered bytes on top of pack_bilinear_cells'
+    4x row cut."""
+    packed = jax.vmap(pack_bilinear_cells, in_axes=2, out_axes=0)(value_heads)
+
+    def per_head(pk, pxh, pyh):
+        return bilinear_sample_packed(pk, pxh, pyh)  # (Q, P, hd)
+
+    return jax.vmap(per_head, in_axes=(0, 1, 1), out_axes=1)(packed, px, py)
 
 
 class DeformConv2d(nn.Module):
@@ -136,12 +182,7 @@ class TemporalSelfAttention(nn.Module):
 
         def per_queue(val_q, px_q, py_q, attn_q):
             # val_q (H, W, Hh, hd); px_q/py_q/attn_q (Q, Hh, P)
-            taps = bilinear_sample(
-                val_q.reshape(H, W, Hh * head_dim), px_q, py_q
-            ).reshape(*px_q.shape, Hh, head_dim)  # (Q, Hh, P, Hh, hd)
-            idx = jnp.arange(Hh)
-            taps = taps[:, idx, :, idx]  # (Hh, Q, P, hd)
-            taps = taps.transpose(1, 0, 2, 3)  # (Q, Hh, P, hd)
+            taps = deformable_taps(val_q, px_q, py_q)  # (Q, Hh, P, hd)
             return jnp.sum(taps * attn_q[..., None], axis=2)  # (Q, Hh, hd)
 
         outs = jax.vmap(per_queue, in_axes=(0, 2, 2, 2))(
@@ -198,11 +239,7 @@ class MSDeformableAttention3D(nn.Module):
             attn_l = attn[:, :, l].transpose(3, 0, 1, 2)  # (A, Q, Hh, Pa)
 
             def per_anchor(px_a, py_a, valid_a, attn_a):
-                taps = bilinear_sample(
-                    value.reshape(*value.shape[:2], Hh * head_dim), px_a, py_a
-                ).reshape(*px_a.shape, Hh, head_dim)  # (Q, Hh, Pa, Hh, hd)
-                idx = jnp.arange(Hh)
-                taps = taps[:, idx, :, idx].transpose(1, 0, 2, 3)  # (Q,Hh,Pa,hd)
+                taps = deformable_taps(value, px_a, py_a)  # (Q, Hh, Pa, hd)
                 taps = taps * valid_a[:, None, None, None]
                 return jnp.sum(taps * attn_a[..., None], axis=2)
 

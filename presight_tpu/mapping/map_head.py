@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bev_encoder import bilinear_sample
+from .bev_encoder import deformable_taps
 
 
 def inverse_sigmoid(x, eps=1e-5):
@@ -66,10 +66,8 @@ class DecoderDeformableAttention(nn.Module):
         value = nn.Dense(D, name="value_proj")(bev_hwc)  # (H, W, D)
         px = ref_pts[:, None, :, 0] * W + offsets[..., 0]  # (Q, Hh, P)
         py = ref_pts[:, None, :, 1] * H + offsets[..., 1]
-        taps = bilinear_sample(value, px, py)  # (Q, Hh, P, D)
-        taps = taps.reshape(Q, Hh, P, Hh, head_dim)
-        idx = jnp.arange(Hh)
-        taps = taps[:, idx, :, idx].transpose(1, 0, 2, 3)  # (Q, Hh, P, hd)
+        taps = deformable_taps(
+            value.reshape(H, W, Hh, head_dim), px, py)  # (Q, Hh, P, hd)
         out = jnp.sum(taps * attn[..., None], axis=2).reshape(Q, D)
         return nn.Dense(D, name="output_proj")(out)
 

@@ -52,6 +52,15 @@ class StreamMapNet(nn.Module):
     num_z_anchors: int = 1
     backbone: str = "simple"
     dcn: bool = False
+    enc_layers: int = 2
+    """BEVFormer encoder layers (reference smn config :109 num_layers=1)."""
+    dec_layers: int = 2
+    """MapTransformerDecoder layers (reference smn config :172
+    num_layers=6)."""
+    num_heads: int = 4
+    """Attention heads in both the encoder's deformable attentions and the
+    decoder (reference: 8, mmcv MultiScaleDeformableAttention default and
+    smn config :182,189)."""
     tsa_prev: bool = False
     """Feed the (ego-warped) previous BEV into TemporalSelfAttention's
     2-frame queue. The reference StreamMapNet keeps its streaming memory in
@@ -72,6 +81,7 @@ class StreamMapNet(nn.Module):
             img_size=self.img_size, embed_dim=self.embed_dim,
             num_levels=self.num_levels, num_z_anchors=self.num_z_anchors,
             backbone=self.backbone, dcn=self.dcn,
+            num_layers=self.enc_layers, num_heads=self.num_heads,
             name="backbone",
         )(imgs, lidar2img,
           prev_bev=warped if self.tsa_prev else None, train=train)
@@ -112,6 +122,7 @@ class StreamMapNet(nn.Module):
             num_queries=self.num_queries, num_classes=self.num_classes,
             num_points=self.num_points, embed_dim=self.embed_dim,
             roi_size=self.roi_size, topk_propagate=self.topk_propagate,
+            num_layers=self.dec_layers, num_heads=self.num_heads,
             name="head",
         )(bev, prev_queries, prev_ref_pts, prev2curr_pose)
         out["bev"] = bev
@@ -133,6 +144,16 @@ class RasterMapper(nn.Module):
     use_prior_only: bool = False
     """Prior-only ablation (StreamMapNet_prioronly.py): zero the camera
     BEV before fusion so the head sees priors alone."""
+    num_levels: int = 1
+    num_z_anchors: int = 1
+    backbone: str = "simple"
+    dcn: bool = False
+    enc_layers: int = 2
+    num_heads: int = 4
+    """Backbone/encoder knobs, same contract as StreamMapNet — the
+    reference raster config shares the smn BEVFormerBackbone exactly
+    (nusc_raster_...py:71-103: ResNet-50 + DCNv2 stages 3-4, 3 FPN
+    levels, 4 z anchors, 1 encoder layer, 8 heads)."""
 
     @nn.compact
     def __call__(self, imgs, lidar2img, prior_feats=None, prior_coords=None,
@@ -140,6 +161,9 @@ class RasterMapper(nn.Module):
         bev = BEVEncoder(
             bev_hw=self.bev_hw, roi_size=self.roi_size,
             img_size=self.img_size, embed_dim=self.embed_dim,
+            num_levels=self.num_levels, num_z_anchors=self.num_z_anchors,
+            backbone=self.backbone, dcn=self.dcn,
+            num_layers=self.enc_layers, num_heads=self.num_heads,
             name="backbone",
         )(imgs, lidar2img, train=train)
         if prior_feats is not None:

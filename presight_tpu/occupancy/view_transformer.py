@@ -93,19 +93,28 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     wx = x - x0
     wy = y - y0
 
-    def corner(xi, yi, w):
+    # One packed row gather serves all four bilinear corners (gather cost
+    # on v5e is per ROW — see mapping/bev_encoder.py pack_bilinear_cells,
+    # which this mirrors for batched NHWC images).
+    from ..mapping.bev_encoder import pack_bilinear_cells
+
+    packed = jax.vmap(pack_bilinear_cells)(img)  # (BN, H+1, W+1, 4C)
+    i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    j = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+    flat = i * (W + 1) + j  # (BN, P)
+    rows = jax.vmap(lambda pk, ix: pk[ix])(
+        packed.reshape(BN, (H + 1) * (W + 1), 4 * C), flat)  # (BN, P, 4C)
+
+    def corner(k, xi, yi, w):
         inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        flat = yi_c * W + xi_c  # (BN, P)
-        vals = jax.vmap(lambda im, ix: im[ix])(img.reshape(BN, H * W, C), flat)
-        return vals * (w * inside.astype(img.dtype))[..., None]
+        v = rows[..., k * C:(k + 1) * C]
+        return v * (w * inside.astype(img.dtype))[..., None]
 
     out = (
-        corner(x0, y0, (1 - wx) * (1 - wy))
-        + corner(x0 + 1, y0, wx * (1 - wy))
-        + corner(x0, y0 + 1, (1 - wx) * wy)
-        + corner(x0 + 1, y0 + 1, wx * wy)
+        corner(0, x0, y0, (1 - wx) * (1 - wy))
+        + corner(1, x0 + 1, y0, wx * (1 - wy))
+        + corner(2, x0, y0 + 1, (1 - wx) * wy)
+        + corner(3, x0 + 1, y0 + 1, wx * wy)
     )
     return out
 

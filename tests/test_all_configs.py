@@ -120,9 +120,17 @@ def test_reference_named_stage3_configs_build_reference_topology():
     assert smn.topk_propagate == 33             # num_queries // 3
     assert smn.num_levels == 3 and smn.num_z_anchors == 4
     assert smn.streaming_bev
+    assert smn.enc_layers == 1                  # BEVFormerEncoder :109
+    assert smn.dec_layers == 6                  # MapTransformerDecoder :172
+    assert smn.num_heads == 8                   # :182,189
 
     raster = map_configs["nusc_raster_wcamprior_480_100x50_24e_randomdrop"]()
     assert raster.bev_hw == (50, 100) and raster.embed_dim == 256
+    # The raster config shares the smn BEVFormerBackbone exactly
+    # (nusc_raster_...py:71-103).
+    assert raster.backbone == "resnet" and raster.dcn
+    assert raster.num_levels == 3 and raster.num_z_anchors == 4
+    assert raster.enc_layers == 1 and raster.num_heads == 8
 
     # Toy entries stay available but are explicitly toy-named.
     assert occ_configs["bevdet-occ-toy"]().backbone == "simple"

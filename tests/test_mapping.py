@@ -430,3 +430,56 @@ def test_msdeform_attention_mass_shared_across_anchors():
         np.testing.assert_allclose(
             out, np.broadcast_to(vrow, (Q, D)), rtol=1e-5,
             err_msg=f"attention mass must be 1 with {A} anchors, not {A}x")
+
+
+def test_packed_bilinear_matches_unpacked_oracle():
+    """pack_bilinear_cells + bilinear_sample_packed must reproduce the
+    plain four-gather bilinear sampler exactly (zero padding, per-corner
+    validity), including samples straddling every edge and fully outside;
+    deformable_taps must equal the sample-all-heads-then-diagonal
+    formulation it replaced."""
+    from presight_tpu.mapping.bev_encoder import (
+        bilinear_sample, bilinear_sample_packed, deformable_taps,
+        pack_bilinear_cells)
+
+    rng = np.random.RandomState(3)
+    H, W, C = 7, 9, 6
+    feat = rng.randn(H, W, C).astype(np.float32)
+    px = rng.uniform(-2.5, W + 2.5, (64,)).astype(np.float32)
+    py = rng.uniform(-2.5, H + 2.5, (64,)).astype(np.float32)
+
+    def oracle(feat, px, py):
+        out = np.zeros((len(px), C), np.float32)
+        for n in range(len(px)):
+            x0, y0 = int(np.floor(px[n])), int(np.floor(py[n]))
+            wx, wy = px[n] - x0, py[n] - y0
+            for dy, dx, w in ((0, 0, (1 - wy) * (1 - wx)),
+                              (0, 1, (1 - wy) * wx),
+                              (1, 0, wy * (1 - wx)),
+                              (1, 1, wy * wx)):
+                yy, xx = y0 + dy, x0 + dx
+                if 0 <= yy < H and 0 <= xx < W:
+                    out[n] += feat[yy, xx] * w
+        return out
+
+    got = np.asarray(bilinear_sample(jnp.asarray(feat), jnp.asarray(px),
+                                     jnp.asarray(py)))
+    np.testing.assert_allclose(got, oracle(feat, px, py), rtol=1e-5,
+                               atol=1e-6)
+    packed = pack_bilinear_cells(jnp.asarray(feat))
+    got2 = np.asarray(bilinear_sample_packed(packed, jnp.asarray(px),
+                                             jnp.asarray(py)))
+    np.testing.assert_array_equal(got, got2)
+
+    # deformable_taps == per-head diagonal of the all-heads sampler.
+    Hh, hd, Q, P = 4, 5, 16, 3
+    vh = rng.randn(H, W, Hh, hd).astype(np.float32)
+    pxh = rng.uniform(-1, W + 1, (Q, Hh, P)).astype(np.float32)
+    pyh = rng.uniform(-1, H + 1, (Q, Hh, P)).astype(np.float32)
+    taps = np.asarray(deformable_taps(jnp.asarray(vh), jnp.asarray(pxh),
+                                      jnp.asarray(pyh)))
+    full = np.asarray(bilinear_sample(
+        jnp.asarray(vh.reshape(H, W, Hh * hd)),
+        jnp.asarray(pxh), jnp.asarray(pyh))).reshape(Q, Hh, P, Hh, hd)
+    diag = np.stack([full[:, h, :, h] for h in range(Hh)], axis=1)
+    np.testing.assert_allclose(taps, diag, rtol=1e-5, atol=1e-6)
