@@ -85,7 +85,20 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     ((-1,-1) = corner pixel center, matching F.grid_sample align_corners).
     Returns (BN, P, C).
     """
-    BN, H, W, C = img.shape
+    from ..mapping.bev_encoder import pack_bilinear_cells
+
+    packed = jax.vmap(pack_bilinear_cells)(img)  # (BN, H+1, W+1, 4C)
+    return _grid_sample_2d_packed(packed, grid)
+
+
+def _grid_sample_2d_packed(packed: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Core of grid_sample_2d on a pre-packed image batch
+    (pack_bilinear_cells per image: one row gather serves all four
+    bilinear corners — gather cost on v5e is per ROW). Exposed separately
+    so callers sampling the SAME images many times (the stereo cost
+    volume's depth sweep) pack once."""
+    BN, Hp, Wp, C4 = packed.shape
+    H, W, C = Hp - 1, Wp - 1, C4 // 4
     x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
     y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
     x0 = jnp.floor(x)
@@ -93,22 +106,16 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     wx = x - x0
     wy = y - y0
 
-    # One packed row gather serves all four bilinear corners (gather cost
-    # on v5e is per ROW — see mapping/bev_encoder.py pack_bilinear_cells,
-    # which this mirrors for batched NHWC images).
-    from ..mapping.bev_encoder import pack_bilinear_cells
-
-    packed = jax.vmap(pack_bilinear_cells)(img)  # (BN, H+1, W+1, 4C)
     i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
     j = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
     flat = i * (W + 1) + j  # (BN, P)
     rows = jax.vmap(lambda pk, ix: pk[ix])(
-        packed.reshape(BN, (H + 1) * (W + 1), 4 * C), flat)  # (BN, P, 4C)
+        packed.reshape(BN, (H + 1) * (W + 1), C4), flat)  # (BN, P, 4C)
 
     def corner(k, xi, yi, w):
         inside = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
         v = rows[..., k * C:(k + 1) * C]
-        return v * (w * inside.astype(img.dtype))[..., None]
+        return v * (w * inside.astype(packed.dtype))[..., None]
 
     out = (
         corner(0, x0, y0, (1 - wx) * (1 - wy))
@@ -171,14 +178,29 @@ def stereo_cost_volume(
     (B*N, Hs, Ws, D), softmaxed over D (a depth probability prior)."""
     BN, Hs, Ws, Cs = curr_feat.shape
     D = depth_bins
-    warped = grid_sample_2d(prev_feat, grid).reshape(BN, D, Hs, Ws, Cs)
-    diff = jnp.abs(curr_feat[:, None] - warped)  # (BN, D, Hs, Ws, Cs)
-    # Reference sums |.| group-wise then accumulates — equal to a full
-    # channel sum (grouping there is a memory staging detail).
-    cost = jnp.sum(diff, axis=-1)  # (BN, D, Hs, Ws)
-    if bias != 0.0:
-        invalid = warped[..., 0] == 0.0  # zeros-padding marker, :639
-        cost = cost + bias * invalid.astype(cost.dtype)
+    # Scan over depth hypotheses: materializing the full warped volume
+    # (BN, D, Hs, Ws, Cs) is ~6 GB at reference scale (6 cams x 88 bins x
+    # 64x176 x 256 f32) and OOMs a v5e; per-bin it is ~70 MB. prev_feat is
+    # packed ONCE outside the scan (the reference's group-wise staging,
+    # view_transformer.py:615-643, is the same memory trick on CUDA).
+    from ..mapping.bev_encoder import pack_bilinear_cells
+
+    packed_prev = jax.vmap(pack_bilinear_cells)(prev_feat)
+    grid_d = jnp.moveaxis(grid.reshape(BN, D, Hs * Ws, 2), 1, 0)
+
+    def body(_, grid_bin):
+        warped = _grid_sample_2d_packed(packed_prev, grid_bin)
+        warped = warped.reshape(BN, Hs, Ws, Cs)
+        # Reference sums |.| group-wise then accumulates — equal to a full
+        # channel sum (grouping there is a memory staging detail).
+        cost_bin = jnp.sum(jnp.abs(curr_feat - warped), axis=-1)
+        if bias != 0.0:
+            invalid = warped[..., 0] == 0.0  # zeros-padding marker, :639
+            cost_bin = cost_bin + bias * invalid.astype(cost_bin.dtype)
+        return 0.0, cost_bin
+
+    _, cost = jax.lax.scan(body, 0.0, grid_d)  # (D, BN, Hs, Ws)
+    cost = jnp.moveaxis(cost, 0, 1)
     cost = jax.nn.softmax(-cost, axis=1)
     return jnp.transpose(cost, (0, 2, 3, 1))  # (BN, Hs, Ws, D)
 

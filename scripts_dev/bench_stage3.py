@@ -27,29 +27,48 @@ import jax
 import jax.numpy as jnp
 
 
-def kdiff_fps(name, apply_once, example, k1=4, k2=12, reps=3):
-    """apply_once(x) -> scalar; chained k times via lax.scan."""
-    def chain(x, k):
-        def body(carry, _):
-            o = apply_once(carry)
-            return example + o * 0.0, o
-        _, outs = jax.lax.scan(body, x, None, length=k)
-        return outs[-1]
+def kdiff_fps(name, apply_once, example, consts, k1=2, k2=8, reps=3,
+              samples_per_app=1):
+    """apply_once(consts, x) -> scalar; chained k times via lax.scan.
 
-    outs = []
+    ``consts`` (model variables + fixed input tensors) are jit ARGUMENTS,
+    not closures — closed-over full-scale params get baked into the
+    remote-compile payload and blow the tunnel's HTTP body limit (413).
+    """
+    def chain(consts, x, k):
+        def body(carry, _):
+            o = apply_once(consts, carry)
+            # 1e-30 * o: numerically negligible but NOT constant-foldable
+            # (o * 0.0 was folded away, which decoupled the iterations and
+            # let XLA collapse the scan to one application).
+            return x + o * 1e-30, o
+        _, outs = jax.lax.scan(body, x, None, length=k)
+        return jnp.sum(outs)
+
+    # The tunnel pool replays cached results for an identical (program,
+    # inputs) pair — a rep with inputs it has seen before returns in ~1 ms
+    # without touching the chip. Every call (warmup included) therefore
+    # gets a numerically-distinct input.
+    # VALUE-fetch (float()), never block_until_ready: on this runtime only
+    # a fetch forces remote execution (PERFORMANCE.md bench methodology).
+    variants = [jax.block_until_ready(example + (i + 1) * 1e-6)
+                for i in range((reps + 1) * 2)]
+    vi = iter(variants)
+    meds = []
     for k in (k1, k2):
-        fn = jax.jit(lambda x, k=k: chain(x, k))
-        r = fn(example)
-        jax.block_until_ready(r)
+        fn = jax.jit(lambda c, x, k=k: chain(c, x, k))
+        _ = float(fn(consts, next(vi)))
         ts = []
-        for _ in range(reps):
+        for _r in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(example))
+            _ = float(fn(consts, next(vi)))
             ts.append(time.perf_counter() - t0)
-        outs.append(sorted(ts)[reps // 2])
-    per = (outs[1] - outs[0]) / (k2 - k1)
-    print(f"{name:44s} {per*1e3:8.1f} ms/sample  {1.0/per:6.1f} FPS", flush=True)
-    return 1.0 / per
+        meds.append(sorted(ts)[reps // 2])
+    per = (meds[1] - meds[0]) / (k2 - k1)
+    print(f"{name:44s} {per*1e3:8.1f} ms/app  {samples_per_app/per:6.1f} "
+          f"samples/s  [T({k1})={meds[0]:.3f}s T({k2})={meds[1]:.3f}s]",
+          flush=True)
+    return samples_per_app / per
 
 
 def bench_occ():
@@ -87,13 +106,38 @@ def bench_occ():
     variables = model.init(jax.random.PRNGKey(0), imgs, sensor2ego, cam2imgs,
                            post_rots, post_trans, bda, **kwargs)
 
-    def apply_once(x):
-        out = model.apply(variables, x, sensor2ego, cam2imgs,
-                          post_rots, post_trans, bda, **kwargs)
+    consts = (variables, sensor2ego, cam2imgs, post_rots, post_trans, bda,
+              kwargs)
+
+    def apply_once(c, x):
+        v, s2e_, c2i_, pr_, pt_, bda_, kw = c
+        out = model.apply(v, x, s2e_, c2i_, pr_, pt_, bda_, **kw)
         leaf = out[0] if isinstance(out, tuple) else out
         return jnp.mean(leaf)
 
-    kdiff_fps("bevdet-occ r50 256x704 temporal+stereo", apply_once, imgs)
+    kdiff_fps("bevdet-occ r50 256x704 temporal+stereo", apply_once, imgs,
+              consts)
+
+    # Batch-4 throughput (the model natively carries a batch axis).
+    B4 = 4
+
+    def tile(a):
+        return jnp.concatenate([a] * B4, axis=0)
+
+    consts4 = (jax.tree.map(lambda a: a, variables),
+               tile(sensor2ego), tile(cam2imgs), tile(post_rots),
+               tile(post_trans), tile(bda),
+               {k: tile(v) for k, v in kwargs.items()})
+    imgs4 = tile(imgs)
+
+    def apply_once4(c, x):
+        v, s2e_, c2i_, pr_, pt_, bda_, kw = c
+        out = model.apply(v, x, s2e_, c2i_, pr_, pt_, bda_, **kw)
+        leaf = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(leaf)
+
+    kdiff_fps(f"bevdet-occ r50 256x704 batch{B4} throughput", apply_once4,
+              imgs4, consts4, samples_per_app=B4)
 
 
 def _pinhole_ring(N, fx, cx, cy):
@@ -139,14 +183,32 @@ def bench_map(name):
     variables = model.init(jax.random.PRNGKey(0), imgs, lidar2img,
                            **stream, **prior)
 
-    def apply_once(x):
-        out, _ = model.apply(variables, x, lidar2img, **stream, **prior,
+    consts = (variables, lidar2img, stream, prior)
+
+    def apply_once(c, x):
+        v, l2i, st, pr = c
+        out, _ = model.apply(v, x, l2i, **st, **pr,
                              mutable=["batch_stats"])
         leaf = out["scores"] if isinstance(out, dict) else out
         return jnp.mean(leaf)
 
     label = "smn" if is_smn else "raster"
-    kdiff_fps(f"{label} r50 480x800 streaming+prior", apply_once, imgs)
+    kdiff_fps(f"{label} r50 480x800 streaming+prior", apply_once, imgs,
+              consts)
+
+    # Batch-4 throughput: TPU latency at batch 1 underuses the chip; the
+    # deployment-relevant number for offline/near-line perception is
+    # samples/s at a modest batch (vmap over the full per-sample graph).
+    B = 4
+    imgs_b = jnp.asarray(rng.rand(B, N, 3, H, W).astype(np.float32))
+
+    def apply_batch(c, xb):
+        def one(x):
+            return apply_once(c, x)
+        return jnp.sum(jax.vmap(one)(xb))
+
+    kdiff_fps(f"{label} r50 480x800 batch{B} throughput", apply_batch,
+              imgs_b, consts, samples_per_app=B)
 
 
 if __name__ == "__main__":
