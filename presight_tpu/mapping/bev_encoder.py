@@ -45,6 +45,30 @@ def pack_bilinear_cells(feat: jnp.ndarray) -> jnp.ndarray:
          fp[1:H + 2, 0:W + 1], fp[1:H + 2, 1:W + 2]], axis=-1)
 
 
+def packed_rows_weights(px: jnp.ndarray, py: jnp.ndarray, H: int, W: int):
+    """Index/weight form of a packed bilinear sample: px/py (...,) pixel
+    coords over an (H, W) map -> (row (...,) int32 into the flattened
+    (H+1, W+1) packed grid, w4 (..., 4) per-corner weights with
+    out-of-bounds corners zeroed). ``sum_k rows[row][k*C:(k+1)*C] *
+    w4[..., k]`` equals the plain four-gather bilinear sampler."""
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    wx = px - x0
+    wy = py - y0
+    row = jnp.clip(y0 + 1, 0, H) * (W + 1) + jnp.clip(x0 + 1, 0, W)
+
+    def cw(yy, xx, w):
+        valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
+        return w * valid.astype(px.dtype)
+
+    w4 = jnp.stack(
+        [cw(y0, x0, (1 - wy) * (1 - wx)),
+         cw(y0, x0 + 1, (1 - wy) * wx),
+         cw(y0 + 1, x0, wy * (1 - wx)),
+         cw(y0 + 1, x0 + 1, wy * wx)], axis=-1)
+    return row, w4
+
+
 def bilinear_sample_packed(packed: jnp.ndarray, px: jnp.ndarray,
                            py: jnp.ndarray) -> jnp.ndarray:
     """packed (H+1, W+1, 4C) from pack_bilinear_cells; px/py (...,) pixel
@@ -52,23 +76,10 @@ def bilinear_sample_packed(packed: jnp.ndarray, px: jnp.ndarray,
     is corner-for-corner identical to the unpacked sampler."""
     Hp, Wp, C4 = packed.shape
     H, W, C = Hp - 1, Wp - 1, C4 // 4
-    x0 = jnp.floor(px).astype(jnp.int32)
-    y0 = jnp.floor(py).astype(jnp.int32)
-    wx = px - x0
-    wy = py - y0
-    rows = packed[jnp.clip(y0 + 1, 0, H), jnp.clip(x0 + 1, 0, W)]
-
-    def corner(k, yy, xx, w):
-        valid = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-        v = rows[..., k * C:(k + 1) * C] * valid[..., None].astype(packed.dtype)
-        return v * w[..., None]
-
-    return (
-        corner(0, y0, x0, (1 - wy) * (1 - wx))
-        + corner(1, y0, x0 + 1, (1 - wy) * wx)
-        + corner(2, y0 + 1, x0, wy * (1 - wx))
-        + corner(3, y0 + 1, x0 + 1, wy * wx)
-    )
+    row, w4 = packed_rows_weights(px, py, H, W)
+    rows = packed.reshape(Hp * Wp, C4)[row]
+    r = rows.reshape(*rows.shape[:-1], 4, C)
+    return jnp.einsum("...kc,...k->...c", r, w4.astype(packed.dtype))
 
 
 def bilinear_sample(feat: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
@@ -251,16 +262,137 @@ class MSDeformableAttention3D(nn.Module):
         return out.reshape(Q, D)
 
 
-class SpatialCrossAttention(nn.Module):
-    """Camera aggregation around MSDeformableAttention3D
-    (spatial_cross_attention.py:30-200): each camera's deformable output is
-    summed and normalized by the per-query camera-hit count, then projected
-    and residually added by the caller."""
+class _FusedDeformableCore(nn.Module):
+    """Parameter-compatible fused evaluation of per-camera
+    MSDeformableAttention3D: identical math (offsets/weights conditioning,
+    one softmax across levels x points, per-anchor validity masking), but
+    every camera/level/head/anchor tap is served from ONE packed value
+    table by ONE row gather per camera.
+
+    Why: the per-(cam, level, anchor, head) formulation issues 576 small
+    gathers per encoder layer; measured on v5e at smn reference scale
+    (scripts_dev/profile_sca.py) the taps cost 107 ms. Folding heads,
+    levels and cams into a single row-indexed table cuts that to 77 ms,
+    and compacting each camera's queries to the in-frustum subset
+    (``capacity_frac``) to 47 ms. bf16 rows measured NO further gain —
+    the gather is row-issue-bound, not bandwidth-bound — so the table
+    stays in the working dtype."""
 
     embed_dim: int
     num_heads: int = 4
     num_points: int = 8
     num_levels: int = 1
+    capacity_frac: float = 1.0
+
+    @nn.compact
+    def __call__(self, queries, ref_pix, cam_feats, ref_valid):
+        """queries (Q, D); ref_pix (N, A, Q, 2) level-0 feature-pixel
+        coords; cam_feats: list of L (N, Hl, Wl, C) maps (level l at
+        1/2^l of level 0); ref_valid (N, A, Q). Returns (out (Q, D)
+        cam-summed and NOT hit-normalized, contrib (Q,) per-query count
+        of cameras actually accumulated)."""
+        Q, D = queries.shape
+        N, A = ref_pix.shape[0], ref_pix.shape[1]
+        L, Hh, P = self.num_levels, self.num_heads, self.num_points
+        hd = D // Hh
+        assert len(cam_feats) == L
+        assert P % A == 0, (
+            f"num_points ({P}) must be divisible by the anchor count ({A}) "
+            "— reference contract spatial_cross_attention.py:368")
+        Pa = P // A
+        dt = queries.dtype
+
+        offsets = nn.Dense(Hh * L * P * 2, name="sampling_offsets")(queries)
+        offsets = offsets.reshape(Q, Hh, L, Pa, A, 2)
+        attn = nn.Dense(Hh * L * P, name="attention_weights")(queries)
+        attn = jax.nn.softmax(attn.reshape(Q, Hh, L * P), axis=-1)
+        attn = attn.reshape(Q, Hh, L, Pa, A)
+
+        # One packed value table per camera: rows ordered (level, head,
+        # packed y, packed x), hd floats x 4 corners wide.
+        valid_q = ref_valid.transpose(0, 2, 1).astype(dt)  # (N, Q, A)
+        tabs, idx_parts, w_parts = [], [], []
+        base = 0
+        for l, feat in enumerate(cam_feats):
+            Hl, Wl = feat.shape[1], feat.shape[2]
+            value = nn.Dense(D, name=f"value_proj_l{l}")(feat)
+            value = value.reshape(N, Hl, Wl, Hh, hd).transpose(0, 3, 1, 2, 4)
+            packed = jax.vmap(jax.vmap(pack_bilinear_cells))(value)
+            tabs.append(packed.reshape(N, Hh * (Hl + 1) * (Wl + 1), 4 * hd))
+
+            scale = 1.0 / (2 ** l)
+            off_l = offsets[:, :, l]  # (Q, Hh, Pa, A, 2)
+            # (N, Q, Hh, Pa, A)
+            px = (ref_pix[..., 0].transpose(0, 2, 1) * scale
+                  )[:, :, None, None, :] + off_l[None, ..., 0]
+            py = (ref_pix[..., 1].transpose(0, 2, 1) * scale
+                  )[:, :, None, None, :] + off_l[None, ..., 1]
+            row, w4 = packed_rows_weights(px, py, Hl, Wl)
+            row = row + (jnp.arange(Hh, dtype=jnp.int32)[None, None, :, None,
+                                                         None]
+                         * ((Hl + 1) * (Wl + 1)) + base)
+            # Fold attention weight and per-anchor validity into the
+            # corner weights (exactly what per_anchor masking+weighting
+            # does in the unfused path).
+            w4 = (w4 * attn[None, :, :, l, ..., None]
+                  * valid_q[:, :, None, None, :, None])
+            idx_parts.append(row.reshape(N, Q, Hh, Pa * A))
+            w_parts.append(w4.reshape(N, Q, Hh, Pa * A, 4))
+            base += Hh * (Hl + 1) * (Wl + 1)
+
+        tab = jnp.concatenate(tabs, axis=1)           # (N, S, 4hd)
+        idx = jnp.concatenate(idx_parts, axis=3)      # (N, Q, Hh, L*Pa*A)
+        w4 = jnp.concatenate(w_parts, axis=3)         # (N, Q, Hh, LPA, 4)
+        T = L * Pa * A
+
+        anyvalid = ref_valid.any(axis=1)              # (N, Q)
+        K = min(Q, int(np.ceil(Q * self.capacity_frac)))
+        out = jnp.zeros((Q, Hh, hd), dt)
+        contrib = jnp.zeros((Q,), dt)
+        for n in range(N):
+            if K < Q:
+                # Stable argsort puts in-frustum queries first in index
+                # order; overflow beyond K (geometrically impossible for a
+                # real camera rig at capacity_frac >= its frustum coverage)
+                # drops that camera's contribution for the overflowed query
+                # AND its count in contrib, keeping the normalization
+                # consistent.
+                qsel = jnp.argsort(~anyvalid[n], stable=True)[:K]
+                slot_ok = anyvalid[n][qsel].astype(dt)
+                idx_n = idx[n][qsel]
+                w_n = w4[n][qsel] * slot_ok[:, None, None, None]
+            else:
+                qsel = None
+                slot_ok = anyvalid[n].astype(dt)
+                idx_n, w_n = idx[n], w4[n]
+            rows = tab[n][idx_n.reshape(-1)].reshape(K, Hh, T, 4, hd)
+            o_n = jnp.einsum("khtcd,khtc->khd", rows, w_n.astype(dt))
+            if qsel is None:
+                out = out + o_n
+                contrib = contrib + slot_ok
+            else:
+                out = out.at[qsel].add(o_n)
+                contrib = contrib.at[qsel].add(slot_ok)
+        return out.reshape(Q, D), contrib
+
+
+class SpatialCrossAttention(nn.Module):
+    """Camera aggregation around MSDeformableAttention3D
+    (spatial_cross_attention.py:30-200): each camera's deformable output is
+    summed and normalized by the per-query camera-hit count, then projected
+    and residually added by the caller.
+
+    The per-camera deformable attention is evaluated by
+    ``_FusedDeformableCore`` (one folded row gather per camera + optional
+    in-frustum query compaction); its parameter tree and math are
+    identical to mapping each camera through MSDeformableAttention3D —
+    ``test_mapping.py`` pins the equivalence."""
+
+    embed_dim: int
+    num_heads: int = 4
+    num_points: int = 8
+    num_levels: int = 1
+    capacity_frac: float = 1.0
 
     @nn.compact
     def __call__(self, queries, ref_pix, cam_feats, ref_valid):
@@ -268,22 +400,12 @@ class SpatialCrossAttention(nn.Module):
         cam_feats: list of L arrays (N_cam, Hl, Wl, C); ref_valid
         (N_cam, A, Q)."""
         Q, D = queries.shape
-        N = ref_pix.shape[0]
-        attn = MSDeformableAttention3D(
+        out, hits = _FusedDeformableCore(
             self.embed_dim, self.num_heads, self.num_points,
-            self.num_levels, name="deformable_attention",
-        )
-
-        def per_cam(ref_c, feats_c, valid_c):
-            return attn(queries, ref_c, feats_c, valid_c)
-
-        outs = jax.vmap(
-            per_cam, in_axes=(0, [0] * len(cam_feats), 0)
-        )(ref_pix, cam_feats, ref_valid)  # (N, Q, D)
-        hits = jnp.maximum(
-            ref_valid.any(axis=1).astype(queries.dtype).sum(axis=0), 1.0
-        )  # (Q,)
-        out = outs.sum(axis=0) / hits[:, None]
+            self.num_levels, self.capacity_frac,
+            name="deformable_attention",
+        )(queries, ref_pix, cam_feats, ref_valid)
+        out = out / jnp.maximum(hits, 1.0)[:, None]
         return nn.Dense(D, name="output_proj")(out)
 
 
@@ -297,6 +419,7 @@ class EncoderLayer(nn.Module):
     num_points: int = 4
     num_levels: int = 1
     cross_num_points: int = 8
+    sca_capacity_frac: float = 1.0
 
     @nn.compact
     def __call__(self, bev_q, ref_pix, cam_feats, ref_valid, prev_bev=None):
@@ -307,7 +430,8 @@ class EncoderLayer(nn.Module):
         bev_q = nn.LayerNorm()(bev_q + h)
         h = SpatialCrossAttention(
             self.embed_dim, self.num_heads, self.cross_num_points,
-            self.num_levels, name="spatial_cross_attn",
+            self.num_levels, self.sca_capacity_frac,
+            name="spatial_cross_attn",
         )(bev_q, ref_pix, cam_feats, ref_valid)
         bev_q = nn.LayerNorm()(bev_q + h)
         h = nn.Dense(self.embed_dim * 2)(bev_q)
@@ -374,6 +498,12 @@ class BEVEncoder(nn.Module):
     resnet_depth: int = 50
     resnet_base_width: int = 64
     dcn: bool = False
+    # Per-camera in-frustum query compaction capacity for the spatial
+    # cross-attention gather, as a fraction of Q (1.0 = exact/no drop).
+    # A camera frustum covers well under half the BEV plane for any real
+    # rig, so the reference-named configs ship 0.5 — see
+    # _FusedDeformableCore for the measured effect.
+    sca_capacity_frac: float = 1.0
 
     @nn.compact
     def __call__(self, imgs, lidar2img, prev_bev=None, train: bool = False):
@@ -451,6 +581,7 @@ class BEVEncoder(nn.Module):
         for i in range(self.num_layers):
             h = EncoderLayer(
                 self.embed_dim, self.bev_hw, self.num_heads, self.num_points,
-                self.num_levels, self.cross_num_points, name=f"layer{i}",
+                self.num_levels, self.cross_num_points,
+                self.sca_capacity_frac, name=f"layer{i}",
             )(h, ref_pix, [lv for lv in levels], valid, prev_flat)
         return h.reshape(H, W, self.embed_dim).transpose(2, 0, 1)

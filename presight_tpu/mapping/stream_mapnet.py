@@ -54,6 +54,10 @@ class StreamMapNet(nn.Module):
     dcn: bool = False
     enc_layers: int = 2
     """BEVFormer encoder layers (reference smn config :109 num_layers=1)."""
+    sca_capacity_frac: float = 1.0
+    """Per-camera in-frustum query compaction capacity in the encoder's
+    spatial cross-attention, as a fraction of the BEV query count (1.0 =
+    exact). See bev_encoder._FusedDeformableCore."""
     dec_layers: int = 2
     """MapTransformerDecoder layers (reference smn config :172
     num_layers=6)."""
@@ -82,6 +86,7 @@ class StreamMapNet(nn.Module):
             num_levels=self.num_levels, num_z_anchors=self.num_z_anchors,
             backbone=self.backbone, dcn=self.dcn,
             num_layers=self.enc_layers, num_heads=self.num_heads,
+            sca_capacity_frac=self.sca_capacity_frac,
             name="backbone",
         )(imgs, lidar2img,
           prev_bev=warped if self.tsa_prev else None, train=train)
@@ -149,6 +154,7 @@ class RasterMapper(nn.Module):
     backbone: str = "simple"
     dcn: bool = False
     enc_layers: int = 2
+    sca_capacity_frac: float = 1.0
     num_heads: int = 4
     """Backbone/encoder knobs, same contract as StreamMapNet — the
     reference raster config shares the smn BEVFormerBackbone exactly
@@ -164,6 +170,7 @@ class RasterMapper(nn.Module):
             num_levels=self.num_levels, num_z_anchors=self.num_z_anchors,
             backbone=self.backbone, dcn=self.dcn,
             num_layers=self.enc_layers, num_heads=self.num_heads,
+            sca_capacity_frac=self.sca_capacity_frac,
             name="backbone",
         )(imgs, lidar2img, train=train)
         if prior_feats is not None:

@@ -71,6 +71,14 @@ def kdiff_fps(name, apply_once, example, consts, k1=2, k2=8, reps=3,
     return samples_per_app / per
 
 
+def _bf16(t):
+    """Cast every f32 leaf to bf16 (params + feature tensors; geometry
+    tensors are kept OUT of the casted set by the callers — bf16's 8
+    mantissa bits would quantize pixel coordinates to ~0.5 px)."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+
+
 def bench_occ():
     from presight_tpu.configs.stage3_configs import occ_configs
 
@@ -117,6 +125,26 @@ def bench_occ():
 
     kdiff_fps("bevdet-occ r50 256x704 temporal+stereo", apply_once, imgs,
               consts)
+
+    # bf16 deployment mode: params + feature tensors in bf16 (2x MXU rate,
+    # half the gather/HBM bytes); geometry (sensor2ego/cam2imgs/post_*/bda/
+    # prev2curr/k2s) stays fp32 — it feeds coordinate math, not the MXU.
+    # The chained input x stays fp32 (the 1e-6 variant noise would round
+    # away in bf16 and the tunnel would replay a cached result); the cast
+    # happens inside the step.
+    kwargs_bf = dict(prev_bev=_bf16(prev_bev), prev2curr=prev2curr,
+                     prev_stereo_feat=_bf16(prev_stereo), k2s_sensor=k2s)
+    consts_bf = (_bf16(variables), sensor2ego, cam2imgs, post_rots,
+                 post_trans, bda, kwargs_bf)
+
+    def apply_bf16(c, x):
+        v, s2e_, c2i_, pr_, pt_, bda_, kw = c
+        out = model.apply(v, x.astype(jnp.bfloat16), s2e_, c2i_, pr_, pt_,
+                          bda_, **kw)
+        leaf = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(leaf.astype(jnp.float32))
+
+    kdiff_fps("bevdet-occ r50 256x704 bf16", apply_bf16, imgs, consts_bf)
 
     # Batch-4 throughput (the model natively carries a batch axis).
     B4 = 4
@@ -209,6 +237,30 @@ def bench_map(name):
 
     kdiff_fps(f"{label} r50 480x800 batch{B} throughput", apply_batch,
               imgs_b, consts, samples_per_app=B)
+
+    # bf16 deployment mode (see bench_occ): params + feature tensors
+    # (prev_bev, prev_queries, prior_feats) bf16, geometry fp32.
+    stream_bf = dict(stream)
+    for key in ("prev_bev", "prev_queries"):
+        if key in stream_bf:
+            stream_bf[key] = _bf16(stream_bf[key])
+    prior_bf = dict(prior, prior_feats=_bf16(prior["prior_feats"]))
+    consts_bf = (_bf16(variables), lidar2img, stream_bf, prior_bf)
+
+    def apply_bf16(c, x):
+        v, l2i, st, pr = c
+        out, _ = model.apply(v, x.astype(jnp.bfloat16), l2i, **st, **pr,
+                             mutable=["batch_stats"])
+        leaf = out["scores"] if isinstance(out, dict) else out
+        return jnp.mean(leaf.astype(jnp.float32))
+
+    kdiff_fps(f"{label} r50 480x800 bf16", apply_bf16, imgs, consts_bf)
+
+    def apply_batch_bf16(c, xb):
+        return jnp.sum(jax.vmap(lambda x: apply_bf16(c, x))(xb))
+
+    kdiff_fps(f"{label} r50 480x800 bf16 batch{B}", apply_batch_bf16,
+              imgs_b, consts_bf, samples_per_app=B)
 
 
 if __name__ == "__main__":

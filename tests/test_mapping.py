@@ -483,3 +483,54 @@ def test_packed_bilinear_matches_unpacked_oracle():
         jnp.asarray(pxh), jnp.asarray(pyh))).reshape(Q, Hh, P, Hh, hd)
     diag = np.stack([full[:, h, :, h] for h in range(Hh)], axis=1)
     np.testing.assert_allclose(taps, diag, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_sca_matches_per_cam_msdeform():
+    """SpatialCrossAttention's fused single-table gather must reproduce
+    mapping each camera through MSDeformableAttention3D and normalizing by
+    the camera-hit count (the formulation it replaced) — with the SAME
+    parameter tree, at capacity_frac 1.0 AND under compaction when the
+    per-cam valid count fits the capacity."""
+    import jax
+    import jax.numpy as jnp
+
+    from presight_tpu.mapping.bev_encoder import (
+        MSDeformableAttention3D, SpatialCrossAttention)
+
+    rng = np.random.RandomState(7)
+    N, A, Q, D, L, Hh, P = 3, 2, 40, 16, 2, 4, 8
+    queries = jnp.asarray(rng.randn(Q, D).astype(np.float32))
+    ref_pix = jnp.asarray(
+        rng.uniform(-2.0, 14.0, (N, A, Q, 2)).astype(np.float32))
+    feats = [jnp.asarray(rng.randn(N, 10 // (2 ** l), 12 // (2 ** l), D)
+                         .astype(np.float32)) for l in range(L)]
+    # ~35% of (cam, anchor, query) valid; some queries valid in no camera.
+    valid = jnp.asarray(rng.rand(N, A, Q) < 0.35)
+
+    sca = SpatialCrossAttention(D, Hh, P, L)
+    params = sca.init(jax.random.PRNGKey(0), queries, ref_pix, feats, valid)
+    # Offsets init to zero; randomize so taps land at distinct spots.
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape).astype(np.float32)) * 0.7,
+        params)
+    got = np.asarray(sca.apply(params, queries, ref_pix, feats, valid))
+
+    # Oracle: per-cam MSDeformableAttention3D with the shared subtree,
+    # summed and hit-normalized, then output_proj.
+    msda = MSDeformableAttention3D(D, Hh, P, L)
+    sub = {"params": params["params"]["deformable_attention"]}
+    outs = [np.asarray(msda.apply(sub, queries, ref_pix[n],
+                                  [f[n] for f in feats], valid[n]))
+            for n in range(N)]
+    hits = np.maximum(np.asarray(valid.any(axis=1)).sum(axis=0), 1.0)
+    out = np.stack(outs).sum(axis=0) / hits[:, None]
+    op = params["params"]["output_proj"]
+    ref = out @ np.asarray(op["kernel"]) + np.asarray(op["bias"])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+    # Compaction: every per-cam any-anchor-valid count is <= K -> exact.
+    counts = np.asarray(valid.any(axis=1)).sum(axis=1)
+    frac = float(counts.max() + 2) / Q
+    sca_c = SpatialCrossAttention(D, Hh, P, L, capacity_frac=frac)
+    got_c = np.asarray(sca_c.apply(params, queries, ref_pix, feats, valid))
+    np.testing.assert_allclose(got_c, ref, rtol=2e-4, atol=2e-5)
