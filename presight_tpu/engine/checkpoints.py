@@ -39,13 +39,14 @@ def save_checkpoint(run_dir: Path, step: int, state, keep_only_latest: bool = Tr
     ckptr.wait_until_finished()
     if keep_only_latest:
         for f in sorted(d.glob("step-*.ckpt")):
-            if f != path:
+            if f != path and f.is_dir():
+                # Only our own orbax checkpoint DIRECTORIES are rotated.
+                # A plain step-*.ckpt FILE is a user-supplied reference
+                # torch checkpoint (the warm-start import path below) —
+                # possibly their only copy — and is never deleted here.
                 import shutil
 
-                if f.is_file():  # imported reference torch checkpoint
-                    f.unlink(missing_ok=True)
-                else:
-                    shutil.rmtree(f, ignore_errors=True)
+                shutil.rmtree(f, ignore_errors=True)
     return path
 
 
@@ -79,11 +80,9 @@ def load_checkpoint(path: Path, abstract_state,
                 f"{path} is a reference torch checkpoint; importing it needs "
                 "the model config (pass model_config=, as Trainer.setup does)"
             )
-        import torch
-
         from .import_reference import load_reference_checkpoint
 
-        params = load_reference_checkpoint(path, model_config)
+        params, ckpt_step = load_reference_checkpoint(path, model_config)
         tpl = abstract_state.params
         if jax.tree_util.tree_structure(params) != \
                 jax.tree_util.tree_structure(tpl):
@@ -99,10 +98,10 @@ def load_checkpoint(path: Path, abstract_state,
             return jax.device_put(np.asarray(x))
 
         params = jax.tree_util.tree_map(_place, params, tpl)
-        raw = torch.load(str(path), map_location="cpu", weights_only=False)
-        m = re.fullmatch(r"step-(\d+)\.ckpt", path.name)
-        step = int(raw.get("step", int(m.group(1)) if m else 0))
-        return params, abstract_state.opt_state, step
+        if ckpt_step is None:
+            m = re.fullmatch(r"step-(\d+)\.ckpt", path.name)
+            ckpt_step = int(m.group(1)) if m else 0
+        return params, abstract_state.opt_state, ckpt_step
 
     ckptr = ocp.StandardCheckpointer()
     template = {

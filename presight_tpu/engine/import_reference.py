@@ -192,15 +192,21 @@ def import_reference_state_dict(state: Dict[str, np.ndarray], config) -> Dict:
     return params
 
 
-def load_reference_checkpoint(path: Path, config) -> Dict:
+def load_reference_checkpoint(path: Path, config):
     """Load a reference ``step-*.ckpt`` (torch pickle) and import it.
 
     Needs CPU torch only (baked into the image). The checkpoint layout is
-    trainer.py:445-455: pipeline state under the 'pipeline' key."""
+    trainer.py:445-455: pipeline state under the 'pipeline' key.
+
+    Returns ``(params, step_or_none)`` so the caller never has to
+    deserialize the (possibly multi-GB) pickle a second time just to read
+    the step counter."""
     import torch
 
     raw = torch.load(str(path), map_location="cpu", weights_only=False)
     state = raw["pipeline"] if "pipeline" in raw else raw
     state = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
              for k, v in state.items()}
-    return import_reference_state_dict(state, config)
+    step = raw.get("step") if isinstance(raw, dict) else None
+    return import_reference_state_dict(state, config), \
+        (int(step) if step is not None else None)

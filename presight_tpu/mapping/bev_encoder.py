@@ -349,6 +349,18 @@ class _FusedDeformableCore(nn.Module):
         K = min(Q, int(np.ceil(Q * self.capacity_frac)))
         out = jnp.zeros((Q, Hh, hd), dt)
         contrib = jnp.zeros((Q,), dt)
+        if K < Q:
+            # Overflow indicator: number of valid queries DROPPED by the
+            # worst camera this call (0 when capacity_frac covers the rig's
+            # frustum coverage, as the shipped configs' 0.5 does for the
+            # nuScenes 6-camera rig). Sown so callers/tests can audit an
+            # unusual rig instead of degrading invisibly:
+            # variables['intermediates'][...]['capacity_overflow'].
+            n_valid = anyvalid.sum(axis=1)            # (N,)
+            self.sow(
+                "intermediates", "capacity_overflow",
+                jnp.maximum(n_valid.max() - K, 0).astype(jnp.int32),
+            )
         for n in range(N):
             if K < Q:
                 # Stable argsort puts in-frustum queries first in index

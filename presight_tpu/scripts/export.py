@@ -56,6 +56,17 @@ def _export_pointcloud(args) -> int:
 
     items = trainer.train_outputs.items
     cameras = trainer.cameras
+    # Camera indices drawn below index trainer.cameras directly, which is
+    # only valid because the dataparser renumbers train items 0..N-1 to
+    # match the train camera table — make that coupling loud, not implicit.
+    n_cams = int(np.asarray(cameras.c2w).shape[0])
+    assert len(items) == n_cams and all(
+        it.image_index == i for i, it in enumerate(items)
+    ), (
+        f"train items ({len(items)}) must be renumbered 0..N-1 against the "
+        f"train camera table ({n_cams}); the dataparser split contract "
+        "changed under this exporter"
+    )
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(0)
     chunk = config.eval_num_rays_per_chunk

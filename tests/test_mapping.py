@@ -532,5 +532,21 @@ def test_fused_sca_matches_per_cam_msdeform():
     counts = np.asarray(valid.any(axis=1)).sum(axis=1)
     frac = float(counts.max() + 2) / Q
     sca_c = SpatialCrossAttention(D, Hh, P, L, capacity_frac=frac)
-    got_c = np.asarray(sca_c.apply(params, queries, ref_pix, feats, valid))
-    np.testing.assert_allclose(got_c, ref, rtol=2e-4, atol=2e-5)
+    got_c, inter = sca_c.apply(params, queries, ref_pix, feats, valid,
+                               mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(got_c), ref, rtol=2e-4, atol=2e-5)
+    # The overflow indicator reads 0 when capacity covers the worst camera.
+    over = jax.tree_util.tree_leaves(
+        inter["intermediates"])  # sown capacity_overflow
+    assert len(over) == 1 and int(over[0]) == 0
+
+    # An undersized capacity_frac is DETECTABLE, not silent: the sown
+    # indicator reports how many valid queries the worst camera dropped
+    # (ADVICE round 4: bev_encoder capacity overflow had no signal).
+    k_small = int(counts.max()) - 3
+    sca_o = SpatialCrossAttention(D, Hh, P, L, capacity_frac=k_small / Q)
+    _, inter_o = sca_o.apply(params, queries, ref_pix, feats, valid,
+                             mutable=["intermediates"])
+    over_o = jax.tree_util.tree_leaves(inter_o["intermediates"])
+    k_eff = int(np.ceil(Q * (k_small / Q)))
+    assert int(over_o[0]) == int(counts.max()) - k_eff > 0
