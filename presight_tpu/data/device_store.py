@@ -1,5 +1,13 @@
-"""Device-resident ray store: the whole per-pixel dataset staged in HBM
-once; per-step batches gather rows on-device by ``ray_index``.
+"""Device-resident ray stores: per-step batch VALUES live in HBM and only
+tiny index arrays cross the host link.
+
+Two granularities, picked automatically by the Trainer:
+  * DeviceRayStore — the whole per-pixel dataset staged once (datasets
+    under the cap); per-step batches gather rows on-device by ray_index.
+  * ChunkDeviceStore — deploy scale: the active 512-image chunk's sampled
+    rows staged, next chunk double-buffered behind training, 4 bytes/ray
+    per step over the link. Real tiles (hundreds of GB of pixel rows with
+    64-d features) train through this path.
 
 Motivation (TPU-native data path): the host chunk pipeline ships every
 batch's VALUES over the host->device link — ~1.2 MB per 4096-ray batch
@@ -36,6 +44,115 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from . import constants as K
+
+
+def _pad_rows_pow2(n: int, multiple: int = 1 << 16) -> int:
+    """Round a chunk's row count up to a power-of-two multiple so one
+    compiled gather program serves every chunk (chunk sizes vary with the
+    per-image masking)."""
+    units = max(1, -(-n // multiple))
+    return (1 << (units - 1).bit_length()) * multiple
+
+
+class ChunkDeviceStore:
+    """Chunk-granularity HBM staging for datasets that exceed the
+    whole-dataset DeviceRayStore cap.
+
+    The reference bounds its working set with 512-image chunks
+    (my_dataset.py:165-191) — a real tile's full pixel table is hundreds of
+    GB and can never live in HBM. The TPU-native analog: stage only the
+    ACTIVE chunk's sampled pixel rows (rgb/sky/depth/features AND
+    ray_index) on device, padded to a power-of-two row count so one
+    compiled gather serves every chunk; each step then ships only the
+    4-byte/ray chunk-local selection over the host link. The NEXT chunk's
+    upload is double-buffered: DataManager's prefetch thread stages it
+    right after loading, so the upload rides behind the current chunk's
+    steps and rotation costs nothing. At most two chunks are ever resident.
+
+    Batches are bitwise identical to the host path's ``data[k][sel]`` rows
+    (tests/test_device_store.py asserts this). Under a ("data",) mesh the
+    chunk tables replicate and ``sel`` is host-sharded on the batch axis,
+    exactly like DeviceRayStore's ray_index."""
+
+    def __init__(self, cap_mb: int, mesh=None):
+        self.cap_bytes = cap_mb * 2 ** 20
+        self.mesh = mesh
+        self._staged: Dict[int, Dict] = {}   # chunk_id -> device arrays
+        self._nrows: Dict[int, int] = {}
+        self.enabled = True
+        self._sel_sharding = None
+        self._gathers: Dict[tuple, object] = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._rep = NamedSharding(mesh, P())
+            self._sel_sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+
+    def _put(self, a: np.ndarray):
+        import jax
+
+        if self.mesh is not None:
+            return jax.device_put(a, self._rep)
+        return jax.device_put(a)
+
+    def stage(self, chunk_id: int, data: Dict[str, np.ndarray]) -> bool:
+        """Upload one chunk's rows (padded). Returns False (and disables
+        the store for the run) when even a single padded chunk exceeds the
+        cap — the caller falls back to host-value batches."""
+        if not self.enabled:
+            return False
+        n = len(data[K.RGB])
+        n_pad = _pad_rows_pow2(n)
+        nbytes = sum(
+            n_pad * int(np.prod(v.shape[1:], dtype=np.int64)) * v.dtype.itemsize
+            for v in data.values()
+        )
+        # Double buffering keeps two chunks resident.
+        if 2 * nbytes > self.cap_bytes:
+            self.enabled = False
+            self._staged.clear()
+            return False
+        staged = {
+            k: self._put(np.pad(v, [(0, n_pad - n)] + [(0, 0)] * (v.ndim - 1)))
+            for k, v in data.items()
+        }
+        self._staged[chunk_id] = staged
+        self._nrows[chunk_id] = n
+        return True
+
+    def retain_only(self, chunk_ids) -> None:
+        keep = set(chunk_ids)
+        for cid in list(self._staged):
+            if cid not in keep:
+                del self._staged[cid]
+                del self._nrows[cid]
+
+    def has(self, chunk_id: int) -> bool:
+        return chunk_id in self._staged
+
+    def _gather_fn(self, keys: tuple):
+        import jax
+
+        fn = self._gathers.get(keys)
+        if fn is None:
+            def gather(sel, *tables):
+                return {k: t[sel] for k, t in zip(keys, tables)}
+
+            fn = jax.jit(gather)
+            self._gathers[keys] = fn
+        return fn
+
+    def batch(self, chunk_id: int, sel: np.ndarray) -> Dict:
+        import jax
+
+        staged = self._staged[chunk_id]
+        sel = np.asarray(sel, np.int32)
+        if self._sel_sharding is not None:
+            sel_dev = jax.device_put(sel, self._sel_sharding)
+        else:
+            sel_dev = jax.device_put(sel)
+        keys = tuple(sorted(staged))
+        return self._gather_fn(keys)(sel_dev, *(staged[k] for k in keys))
 
 
 class DeviceRayStore:

@@ -41,17 +41,41 @@ def _render_fn(config: NerfactoNuscMSConfig):
 
 
 class ImageRenderer:
-    """Chunked full-image rendering with one compiled program."""
+    """Chunked full-image rendering with one compiled program.
 
-    def __init__(self, config: NerfactoNuscMSConfig, chunk: Optional[int] = None):
+    ``mesh``: optional 1-D ``("data",)`` device mesh. Ray chunks are
+    embarrassingly parallel, so each padded chunk's ``ray_index`` is placed
+    sharded on the data axis (params/cameras must already be replicated, as
+    Trainer.setup leaves them) and XLA partitions the render across the
+    mesh — the reference renders its eval images on one GPU
+    (nerfacto_nusc_ms.py:736-767); here 8 chips each take 1/8 of every
+    chunk."""
+
+    def __init__(self, config: NerfactoNuscMSConfig, chunk: Optional[int] = None,
+                 mesh=None):
         self.config = config
         self.chunk = chunk or config.eval_num_rays_per_chunk
+        self.mesh = mesh
+        if mesh is not None and self.chunk % mesh.devices.size != 0:
+            # Chunks are padded to a fixed shape anyway; round up so the
+            # shard axis divides evenly.
+            n = mesh.devices.size
+            self.chunk = -(-self.chunk // n) * n
         self._fn = _render_fn(config)
+
+    def _place_index(self, idx_p: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            return jnp.asarray(idx_p)
+        from ..parallel import data_sharded
+
+        return jax.device_put(idx_p, data_sharded(self.mesh))
 
     def render(self, params, cameras: CameraParams, camera_idx: int,
                H: int, W: int, rng=None, prop_grid=None) -> Dict[str, np.ndarray]:
         import jax
-        import jax.numpy as jnp
 
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -69,7 +93,8 @@ class ImageRenderer:
             idx = ray_index[s : s + self.chunk]
             pad = self.chunk - len(idx)
             idx_p = np.pad(idx, ((0, pad), (0, 0)))
-            res = self._fn(params, cameras, jnp.asarray(idx_p), rng, prop_grid)
+            res = self._fn(params, cameras, self._place_index(idx_p), rng,
+                           prop_grid)
             for k, v in res.items():
                 outs.setdefault(k, []).append(np.asarray(v)[: len(idx)])
         stacked = {k: np.concatenate(v) for k, v in outs.items()}
@@ -97,7 +122,7 @@ def image_metrics(pred_rgb: np.ndarray, gt_rgb: np.ndarray,
 
 def evaluate_images(params, config: NerfactoNuscMSConfig, cameras: CameraParams,
                     items, indices=None, with_lpips: bool = True,
-                    with_depth: bool = False) -> Dict[str, float]:
+                    with_depth: bool = False, mesh=None) -> Dict[str, float]:
     """Mean metrics over eval images (my_pipeline.py:219-269).
 
     with_depth adds depth_rmse (meters) over pixels with valid GT depth
@@ -106,7 +131,7 @@ def evaluate_images(params, config: NerfactoNuscMSConfig, cameras: CameraParams,
     sensitive to sample-count/quadrature changes than PSNR/SSIM, so the
     quality study uses it as a third gate axis.
     """
-    renderer = ImageRenderer(config)
+    renderer = ImageRenderer(config, mesh=mesh)
     # The cached proposal grid depends only on params — derive it once and
     # pass it through every render() call instead of letting each image
     # rebuild it ((res+1)^3 field evals per expert per image otherwise).

@@ -270,6 +270,11 @@ class Trainer:
                 step=replicate(self.mesh, jnp.asarray(0, jnp.int32)),
             )
             self.cameras = replicate(self.mesh, self.cameras)
+            if self.eval_cameras is not None:
+                # Eval/extraction chunks shard on the data axis too
+                # (engine/evaluator.py, prior/extraction.py), with cameras
+                # replicated like the train table.
+                self.eval_cameras = replicate(self.mesh, self.eval_cameras)
             print(f"data-parallel over {ndev} {self.mesh.devices.flat[0].platform} "
                   f"devices (zero1={cfg.zero1})", flush=True)
         else:
@@ -279,8 +284,9 @@ class Trainer:
         # tables and gathers each device's batch shard locally from a
         # host-sharded ray_index (device_store.py module docstring).
         self._device_store = None
+        self._chunk_store = None
         if cfg.device_ray_store_mb > 0:
-            from ..data.device_store import DeviceRayStore
+            from ..data.device_store import ChunkDeviceStore, DeviceRayStore
 
             self._device_store = DeviceRayStore.maybe_build(
                 self.train_outputs.items,
@@ -293,6 +299,19 @@ class Trainer:
                          if self.mesh is not None else "on-device")
                 print(f"device ray store staged (batch values gathered "
                       f"{where})", flush=True)
+            else:
+                # Dataset exceeds the whole-dataset cap (or images differ in
+                # size): stage at CHUNK granularity instead — the active
+                # chunk's sampled rows live in HBM, the next chunk's upload
+                # double-buffers behind training, and each step ships only
+                # the 4-byte/ray selection (data/device_store.py
+                # ChunkDeviceStore). Disables itself if even one padded
+                # chunk exceeds the cap.
+                self._chunk_store = ChunkDeviceStore(
+                    cfg.device_ray_store_mb, mesh=self.mesh)
+                self.datamanager.chunk_store = self._chunk_store
+                print("chunk-granularity device store attached "
+                      f"(cap {cfg.device_ray_store_mb} MB)", flush=True)
 
         self.start_step = 0
         load_dir = cfg.load_dir
@@ -327,6 +346,7 @@ class Trainer:
             self.datamanager = DataManager(
                 dataset, batch_size=pcfg.datamanager.train_num_rays_per_batch,
                 seed=cfg.seed + self.start_step,
+                chunk_store=self._chunk_store,
             )
             for s in range(self.start_step):
                 self.update_sched.step_cb(s, self.update_sched.updated(s))
@@ -349,10 +369,14 @@ class Trainer:
         last_step = self.start_step - 1
         for step in range(self.start_step, cfg.max_num_iterations):
             np_batch = self.datamanager.next_batch()
+            # Chunk-store batches arrive as device tensors (already
+            # batch-axis-sharded under a mesh); host values are numpy.
+            from_chunk_store = not isinstance(np_batch.get(K.RGB), np.ndarray)
             batch = self._make_batch(np_batch)
             scalars = self._scalars_at(step)
-            if self.mesh is not None and self._device_store is None:
-                # The store's gather already produced batch-axis-sharded
+            if (self.mesh is not None and self._device_store is None
+                    and not from_chunk_store):
+                # The stores' gathers already produced batch-axis-sharded
                 # tensors; only the host pipeline's values need placing.
                 from ..parallel import shard_batch
 
@@ -419,6 +443,14 @@ class Trainer:
                     use_store: bool = True) -> Dict:
         import jax.numpy as jnp
 
+        # Chunk-store batches arrive as device tensors already (the
+        # DataManager gathered them in HBM); pass through, honoring the
+        # semantics gate.
+        if use_store and not isinstance(np_batch.get(K.RGB), np.ndarray):
+            if K.FEATURES in np_batch and not self.model_config.use_semantics:
+                np_batch = {k: v for k, v in np_batch.items()
+                            if k != K.FEATURES}
+            return np_batch
         # The device store is built over TRAIN items only and ray_index's
         # image_index is split-local (dataparser.py splits renumber from 0),
         # so eval batches must NOT gather from it: a val index would hit an
@@ -496,7 +528,8 @@ class Trainer:
         from .evaluator import ImageRenderer, image_metrics
 
         if self._image_renderer is None:
-            self._image_renderer = ImageRenderer(self.model_config)
+            self._image_renderer = ImageRenderer(self.model_config,
+                                                 mesh=self.mesh)
         idx = (step // self.config.steps_per_eval_image) % len(self.eval_items)
         item = self.eval_items[idx]
         outputs = self._image_renderer.render(

@@ -32,9 +32,10 @@ Design notes (TPU):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -212,10 +213,94 @@ _gather_rows_sorted_grad.defvjp(
 )
 
 
+class TableGradTape:
+    """Trace-time capture of big-table gather cotangents as explicit
+    (indices, rows) pairs, instead of letting AD materialize a dense
+    (T, F) gradient per microbatch.
+
+    Why (v5e, PERFORMANCE.md round 4): at deploy table capacity
+    (log2_hashmap_size >= 19) the microbatch scan's dense per-microbatch
+    table gradients cost two ways — each gradient is an XLA scatter into a
+    fresh (T, F) zeros buffer past the fast-scatter regime, and the scan
+    carry then dense-ADDS the full table every microbatch (~86 GB of HBM
+    traffic per step at 2^19). The tape removes both: the gather reads
+    ``stop_gradient(tbl)[idx] + dummy`` where ``dummy`` is an explicit
+    zeros input of the gathered-rows shape, so d(loss)/d(dummy) IS the
+    cotangent row block, and the train step scatter-adds those rows
+    straight into a bucketed gradient accumulator it carries through the
+    scan (engine/train_step.py). Gradient values differ from plain AD only
+    by float summation order.
+
+    Protocol (all trace-time; the tape never outlives one trace):
+      * ``register(key, leaf)`` — the train step registers each big table
+        leaf (by object identity, which tracing preserves from the merged
+        params pytree down to the ``table[l]`` the gather touches).
+      * ``_gather_rows`` consults the active tape; on a match it consumes
+        the next dummy for that key and records the flat gather indices in
+        ``captured`` — the loss fn returns ``captured`` as aux so the
+        indices are ordinary values at the caller's trace level.
+      * Discovery mode (``dummies=None``): gathers run normally (plain
+        stop-grad reads) while ``shapes`` records per-key row counts, so
+        the caller can allocate the dummy inputs before the real trace.
+    """
+
+    def __init__(self, dummies: Optional[Dict[str, List[jnp.ndarray]]] = None):
+        self._by_id: Dict[int, tuple] = {}
+        self._dummies = dummies
+        self._consumed: Dict[str, int] = {}
+        self.shapes: Dict[str, List[tuple]] = {}
+        self.captured: Dict[str, List[jnp.ndarray]] = {}
+
+    def register(self, key: str, leaf) -> None:
+        # The leaf ref is pinned in the value so a recycled id() can never
+        # alias a dead object onto a registered key.
+        self._by_id[id(leaf)] = (key, leaf)
+
+    def match(self, tbl) -> Optional[str]:
+        hit = self._by_id.get(id(tbl))
+        return hit[0] if hit is not None and hit[1] is tbl else None
+
+    def gather(self, key: str, tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+        flat_idx = idx.reshape(-1)
+        base = jax.lax.stop_gradient(tbl)[idx]
+        self.captured.setdefault(key, []).append(flat_idx)
+        if self._dummies is None:  # discovery pass
+            self.shapes.setdefault(key, []).append(
+                (int(flat_idx.shape[0]), int(tbl.shape[-1]))
+            )
+            return base
+        i = self._consumed.get(key, 0)
+        self._consumed[key] = i + 1
+        dummy = self._dummies[key][i]
+        return base + dummy.reshape(base.shape)
+
+
+_ACTIVE_TAPE: Optional[TableGradTape] = None
+
+
+@contextlib.contextmanager
+def active_table_grad_tape(tape: TableGradTape):
+    """Install ``tape`` for the duration of one trace (not thread-safe
+    across concurrent traces; JAX traces a given function body serially)."""
+    global _ACTIVE_TAPE
+    prev = _ACTIVE_TAPE
+    _ACTIVE_TAPE = tape
+    try:
+        yield tape
+    finally:
+        _ACTIVE_TAPE = prev
+
+
 def _gather_rows(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row gather that picks the backward-scatter strategy by table size
     (sorted pays off only past the slow-scatter regime) and by row count
-    (the argsort stops paying for itself at multi-million-row scatters)."""
+    (the argsort stops paying for itself at multi-million-row scatters).
+    An active TableGradTape overrides both: registered tables get the
+    dummy-capture read whose cotangent stays sparse."""
+    if _ACTIVE_TAPE is not None:
+        key = _ACTIVE_TAPE.match(tbl)
+        if key is not None:
+            return _ACTIVE_TAPE.gather(key, tbl, idx)
     if (
         tbl.shape[0] * tbl.shape[-1] * tbl.dtype.itemsize > _SORTED_GRAD_MIN_BYTES
         and idx.size <= _SORTED_GRAD_MAX_ROWS

@@ -76,16 +76,38 @@ def extract_frame_points(
     min_depth: float = 0.5,
     depth_type: str = "expected_depth",
     prop_grid=None,
+    mesh=None,
+    z_bounds=(-3.0, 6.0),
 ):
     """One camera frame -> (world points, densities, features, colors=None).
+
+    ``z_bounds``: the reference's fixed ego-frame height band for hit
+    points (extract_priors.py:121-127). Overridable so smoke drives on
+    untrained models can exercise the full two-phase pipeline.
 
     Chunked to `chunk` rays (extract_priors.py:28 eval_num_rays_per_chunk)
     with padding to a fixed shape so XLA compiles once. Phase-2 point
     queries (density mean over prop nets + field, semantic features) run as
     ONE fused program sharing one field routing (point_queries).
+
+    ``mesh``: optional 1-D ``("data",)`` device mesh. Extraction rays (and
+    the phase-2 hit points) are embarrassingly parallel, so the padded
+    ray_index / point batches are placed sharded on the data axis and XLA
+    partitions both programs across the mesh — params/cameras must already
+    be replicated (Trainer.setup's layout). The reference extracts on one
+    GPU (extract_priors.py:28,109); extraction is the second-longest stage
+    of the deploy workflow, so leaving 7 of 8 chips idle here would forfeit
+    most of the multi-chip wall-clock win.
     """
     import jax
     import jax.numpy as jnp
+
+    place = jnp.asarray
+    if mesh is not None:
+        from ..parallel import data_sharded
+
+        _spec = data_sharded(mesh)
+        place = lambda a: jax.device_put(np.asarray(a), _spec)  # noqa: E731
 
     if seg_valid is not None:
         rows, cols = np.nonzero(seg_valid)
@@ -106,7 +128,7 @@ def extract_frame_points(
         idx = ray_index[s : s + chunk]
         pad = _pad_to(len(idx), 4096) - len(idx)
         idx_p = np.pad(idx, ((0, pad), (0, 0)))
-        bundle = generate_rays(cameras, jnp.asarray(idx_p))
+        bundle = generate_rays(cameras, place(idx_p))
         outputs = depth_fn(params, bundle=bundle, rng=rng, prop_grid=prop_grid)
         depth = np.asarray(outputs[depth_type])[: len(idx)] / pose_scale_factor
         origins = np.asarray(bundle.origins)[: len(idx)] / pose_scale_factor
@@ -116,8 +138,8 @@ def extract_frame_points(
         sel = (
             (depth < max_depth)
             & (depth > min_depth)
-            & (world[:, 2] > -3.0)
-            & (world[:, 2] < 6.0)
+            & (world[:, 2] > z_bounds[0])
+            & (world[:, 2] < z_bounds[1])
         )
         world = world[sel]
         if len(world) == 0:
@@ -128,7 +150,7 @@ def extract_frame_points(
         # One fused program: density heads + semantic head share a single
         # routing pass (round-2 weak spot #3 of the judge review).
         wpad = _pad_to(len(world), 4096) - len(world)
-        world_p = jnp.asarray(np.pad(world, ((0, wpad), (0, 0))), jnp.float32)
+        world_p = place(np.pad(world, ((0, wpad), (0, 0))).astype(np.float32))
         scaled = world_p * pose_scale_factor
         dens_j, feats_j = _point_queries_jit(config)(params, scaled, prop_grid)
         dens = np.asarray(dens_j)[: len(world)]
@@ -197,6 +219,7 @@ def extract_voxels(
     mask_seg_classes=K.DEFAULT_MASK_SEG_CLASSES,
     density_threshold: float = 1.0,
     streaming: bool = True,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Full extraction (extract_priors.py:33-208). `depth_type` 'depth' is
     the reference's default CLI value mapped onto our output names.
@@ -279,7 +302,7 @@ def extract_voxels(
         result = extract_frame_points(
             params, config, cameras, ci, H, W, seg_valid, pose_scale_factor,
             rng, max_depth=max_depth, min_depth=min_depth, depth_type=depth_key,
-            prop_grid=prop_grid,
+            prop_grid=prop_grid, mesh=mesh,
         )
         if result is None:
             continue

@@ -35,11 +35,15 @@ def main(argv=None) -> int:
     val_out = parse(trainer.config.pipeline.dataparser, split="val")
     items = val_out.items or trainer.train_outputs.items
     cameras = make_camera_params(items)
+    if trainer.mesh is not None:
+        from ..parallel import replicate
+
+        cameras = replicate(trainer.mesh, cameras)
 
     indices = range(len(items) if args.max_images < 0 else min(args.max_images, len(items)))
     metrics = evaluate_images(
         trainer.state.params, trainer.model_config, cameras, items,
-        indices=indices, with_lpips=not args.no_lpips,
+        indices=indices, with_lpips=not args.no_lpips, mesh=trainer.mesh,
     )
     print(json.dumps(metrics, indent=2))
     if args.output_path:

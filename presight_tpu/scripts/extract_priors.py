@@ -59,6 +59,7 @@ def main(argv=None) -> int:
         depth_type=args.depth_type,
         use_segmentation_mask=not args.no_seg_mask,
         density_threshold=args.density_threshold,
+        mesh=trainer.mesh,
     )
     return 0
 

@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     from ..utils.colormaps import apply_feature_colormap
 
     _, trainer = eval_setup(args.run_dir / "config.yml")
-    renderer = ImageRenderer(trainer.model_config)
+    renderer = ImageRenderer(trainer.model_config, mesh=trainer.mesh)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 
     cameras = trainer.cameras

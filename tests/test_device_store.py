@@ -284,3 +284,142 @@ def test_trainer_trajectory_identical_with_store_on_mesh(scene_dir, tmp_path):
                 tr.state.params)
         )))
     assert sums[0] == sums[1]
+
+
+def test_chunk_store_batches_match_host_rows(scene_dir):
+    """Chunk-granularity store (dataset over the whole-dataset cap): the
+    DataManager's device batches must be bitwise identical to the host
+    pipeline's rows across chunk rotations, and the prefetched chunk's
+    staging must double-buffer (at most two chunks resident)."""
+    from presight_tpu.data.device_store import ChunkDeviceStore
+
+    out = _parse(scene_dir)
+    labels = out.predicted_labels[
+        [i for i, it in enumerate(out.all_items) if not it.is_val]
+    ]
+
+    def make_ds():
+        return PixelChunkDataset(out.items, labels, split="train",
+                                 images_per_chunk=4, chunk_ratio=0.05)
+
+    dm_host = DataManager(make_ds(), batch_size=64, seed=3)
+    store = ChunkDeviceStore(cap_mb=512)
+    dm_dev = DataManager(make_ds(), batch_size=64, seed=3, chunk_store=store)
+    # Enough batches to rotate chunks at least twice.
+    for _ in range(12):
+        host = dm_host.next_batch()
+        dev = dm_dev.next_batch()
+        assert not isinstance(dev[K.RGB], np.ndarray)  # device tensors
+        for k in host:
+            np.testing.assert_array_equal(np.asarray(dev[k]), host[k],
+                                          err_msg=k)
+        assert len(store._staged) <= 2
+    dm_host.close()
+    dm_dev.close()
+
+
+def test_chunk_store_over_cap_falls_back_to_host(scene_dir):
+    from presight_tpu.data.device_store import ChunkDeviceStore
+
+    out = _parse(scene_dir)
+    ds = PixelChunkDataset(out.items, None, split="train",
+                           images_per_chunk=4, chunk_ratio=0.05,
+                           load_features=False)
+    store = ChunkDeviceStore(cap_mb=0)
+    store.cap_bytes = 1  # even one padded chunk exceeds this
+    dm = DataManager(ds, batch_size=64, seed=3, chunk_store=store)
+    b = dm.next_batch()
+    assert isinstance(b[K.RGB], np.ndarray)  # transparent host fallback
+    assert not store.enabled and not store._staged
+    dm.close()
+
+
+def test_chunk_store_mesh_sharded_batches(scene_dir):
+    """Under the 8-device mesh the chunk store's batch tensors must be
+    batch-axis sharded and bitwise equal to the host rows."""
+    import jax
+
+    from presight_tpu.data.device_store import ChunkDeviceStore
+    from presight_tpu.parallel import make_mesh
+
+    out = _parse(scene_dir)
+    ds = PixelChunkDataset(out.items, None, split="train",
+                           images_per_chunk=4, chunk_ratio=0.05,
+                           load_features=False)
+    ds2 = PixelChunkDataset(out.items, None, split="train",
+                            images_per_chunk=4, chunk_ratio=0.05,
+                            load_features=False)
+    mesh = make_mesh(8)
+    store = ChunkDeviceStore(cap_mb=512, mesh=mesh)
+    dm_dev = DataManager(ds, batch_size=64, seed=5, chunk_store=store)
+    dm_host = DataManager(ds2, batch_size=64, seed=5)
+    for _ in range(3):
+        dev = dm_dev.next_batch()
+        host = dm_host.next_batch()
+        for k in host:
+            np.testing.assert_array_equal(np.asarray(dev[k]), host[k],
+                                          err_msg=k)
+        shard_axes = {d.sharding.spec[0] for d in dev.values()}
+        assert shard_axes == {"data"}, shard_axes
+    dm_dev.close()
+    dm_host.close()
+
+
+def test_trainer_trajectory_identical_with_chunk_store(scene_dir, tmp_path):
+    """A dataset OVER the whole-dataset cap must still train through
+    HBM-resident chunk batches (DeviceRayStore declines, ChunkDeviceStore
+    engages) with a trajectory identical to the host pipeline's."""
+    import dataclasses
+
+    from presight_tpu.configs.method_configs import method_configs
+
+    out = _parse(scene_dir)
+    it0 = out.items[0]
+    full_mb = (max(it.image_index for it in out.items) + 1) * it0.H * it0.W \
+        * (3 + 1 + 1 + 64) * 4 / 2 ** 20
+    cap = int(full_mb)  # DeviceRayStore needs strictly more than this
+
+    base = method_configs["synthetic-demo"]
+    sums = []
+    for cap_mb in (cap, 0):
+        cfg = dataclasses.replace(
+            base,
+            max_num_iterations=4,
+            steps_per_save=1000, steps_per_eval_batch=0,
+            steps_per_eval_image=10 ** 9,
+            device_ray_store_mb=cap_mb,
+            experiment_name=f"chunkstore-{cap_mb}",
+            output_dir=tmp_path, timestamp="t",
+            pipeline=dataclasses.replace(
+                base.pipeline,
+                dataparser=dataclasses.replace(
+                    base.pipeline.dataparser,
+                    data_dir=scene_dir,
+                    centroids_dir=scene_dir / "centroids",
+                ),
+                datamanager=dataclasses.replace(
+                    base.pipeline.datamanager, train_num_rays_per_batch=128,
+                    images_per_chunk=4,
+                ),
+            ),
+        )
+        from presight_tpu.engine.trainer import Trainer
+
+        tr = Trainer(cfg)
+        tr.setup()
+        if cap_mb > 0:
+            assert tr._device_store is None  # over the whole-dataset cap
+            assert tr._chunk_store is not None
+        tr.train()
+        if cap_mb > 0:
+            assert tr._chunk_store.enabled and tr._chunk_store._staged, \
+                "chunk store never staged a chunk (cap too small for test?)"
+        import jax
+        import jax.numpy as jnp
+
+        sums.append(float(sum(
+            jnp.sum(jnp.abs(x)) for x in jax.tree_util.tree_leaves(
+                tr.state.params)
+        )))
+        tr.datamanager.close()
+    assert sums[0] == sums[1]

@@ -227,3 +227,64 @@ def test_smoke_train_with_sorted_grad_gather(monkeypatch):
 
     assert np.isfinite(losses).all(), losses
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_taped_table_grads_match_dense():
+    """The sparse table-gradient scan (TableGradTape + bucketed
+    accumulator, engaged at deploy table capacity) must produce the same
+    training step as the dense per-microbatch path — same losses, same
+    updated parameters up to float summation order. tape_min_bytes=0
+    forces every hash-table leaf (main field, proposal fields, sky) onto
+    the taped path at toy sizes."""
+    from presight_tpu.engine.train_step import make_train_step
+
+    config = tiny_config(hash_storage="shared", remat=False)
+    aabbs = np.array([[[-10, -10, -10], [10, 10, 10]]], np.float32)
+    centroids = np.zeros((1, 3), np.float32)
+    params = init_model(jax.random.PRNGKey(0), config, aabbs, centroids, 4, 1)
+    cameras = synthetic_scene()
+    groups = {
+        "proposal_networks": OptimizerGroupConfig(lr=1e-2, max_steps=100,
+                                                  warmup_steps=10),
+        "fields": OptimizerGroupConfig(lr=1e-2, max_steps=100,
+                                       warmup_steps=10),
+    }
+    tx = make_optimizer(groups, param_groups(params))
+
+    rng = np.random.RandomState(3)
+    batch = make_batch(cameras, 64, rng)
+    key = jax.random.PRNGKey(7)
+    scalars = StepScalars(anneal=jnp.asarray(1.0), sigma=jnp.asarray(1.0),
+                          los_mult=jnp.asarray(0.0))
+
+    from presight_tpu.engine import train_step as ts_mod
+
+    # (stop_prop_grad, ys-cap override): None = step_end strategy; 0 forces
+    # the in-scan sorted-scatter fallback, covering both reductions.
+    cases = [(False, None), (True, None), (False, 0)]
+    for stop_prop, ys_cap in cases:
+        dense = make_train_step(config, tx, stop_prop_grad=stop_prop,
+                                donate=False, split_update=True,
+                                microbatch_rays=16)
+        prev_cap = ts_mod._TAPE_YS_MAX_BYTES
+        if ys_cap is not None:
+            ts_mod._TAPE_YS_MAX_BYTES = ys_cap
+        try:
+            taped = make_train_step(config, tx, stop_prop_grad=stop_prop,
+                                    donate=False, split_update=True,
+                                    microbatch_rays=16, tape_min_bytes=0)
+            s_d, m_d = dense(init_train_state(params, tx), cameras, batch,
+                             key, scalars)
+            s_t, m_t = taped(init_train_state(params, tx), cameras, batch,
+                             key, scalars)
+        finally:
+            ts_mod._TAPE_YS_MAX_BYTES = prev_cap
+        for k in m_d:
+            np.testing.assert_allclose(np.asarray(m_t[k]), np.asarray(m_d[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)
+        leaves_d = jax.tree_util.tree_leaves_with_path(s_d.params)
+        leaves_t = jax.tree_util.tree_leaves(s_t.params)
+        for (path, ld), lt in zip(leaves_d, leaves_t):
+            np.testing.assert_allclose(
+                np.asarray(lt), np.asarray(ld), rtol=2e-5, atol=2e-6,
+                err_msg=jax.tree_util.keystr(path))
