@@ -47,7 +47,8 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         piecewise_sampler_threshold=100.0 * pose_rescale,
         pose_scale_factor=pose_rescale,
     )
-    if storage in ("grid-n48-cap4x", "grid-n48-cap4x-p64x32"):
+    if storage in ("grid-n48-cap4x", "grid-n48-cap4x-p64x32",
+                   "cap-log2-19"):
         # grid-lean4-s64 + 48 final samples + 4x shared main-table rows
         # (QUALITY gates 'grid-s64-n48'/'-cap4x'/both combined, plus the
         # corrected final-quadrature sweep with the n12 sensitivity
@@ -59,13 +60,19 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
         # RMSE 3.95-3.97 vs the 3.89-4.03 baseline band over 3-5 seeds)
         # while round-1 cuts cost depth (p32x64 +0.43 m disjoint; the
         # p16x16 control +1.65 m) — QUALITY.md round 4.
+        # 'cap-log2-19' is the DEPLOY-CAPACITY rung: the identical headline
+        # architecture with tile-scale shared tables (2^19 rows/level, the
+        # regime of the reference's deployed 10x2^20x4-per-expert field) —
+        # served by the TableGradTape sparse-gradient scan (train_step) and
+        # microbatch 4096 (PERFORMANCE.md round-4/5 capacity sweeps).
         config = NerfactoNuscMSConfig(
             hash_storage="shared", prop_shared_mlp=True, remat=False,
-            log2_hashmap_size=17, num_levels=4,
+            log2_hashmap_size=19 if storage == "cap-log2-19" else 17,
+            num_levels=4,
             features_per_level=10,
             prop_grid_res=64,
             num_proposal_samples_per_ray=(
-                (64, 32) if storage.endswith("p64x32") else (64, 64)),
+                (64, 64) if storage == "grid-n48-cap4x" else (64, 32)),
             num_nerf_samples_per_ray=48,
             proposal_net_args_list=(
                 dict(features_per_level=4, log2_hashmap_size=16, num_levels=2,
@@ -215,6 +222,10 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
                          "grid-lean4": 16384, "grid-lean4-s64": 1024,
                          "grid-n48-cap4x": 1024,
                          "grid-n48-cap4x-p64x32": 1024,
+                         # capacity rung: per-step table-grad work scales
+                         # with microbatch COUNT; 4096 measured optimal at
+                         # log2 19-20 (PERFORMANCE.md round 4).
+                         "cap-log2-19": 4096,
                          "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)

@@ -63,6 +63,11 @@ _TAPE_YS_MAX_BYTES = 6 * 2**30
 # Bucket target for the 'buckets' strategy only.
 _TAPE_BUCKET_TARGET_BYTES = 32 * 2**20
 
+# Measurement-only switch (scripts_dev probes): skip the step-end
+# reduction (big-table grads come back as zeros) to isolate the scan
+# body's tape overhead from the reduction's cost. Never set in training.
+_TAPE_DEBUG_SKIP_REDUCE = False
+
 
 def _split_big_tables(params: Dict, min_bytes: int):
     """Split hash-table leaves larger than ``min_bytes`` out of the params
@@ -452,6 +457,9 @@ def _make_split_train_step(
                 ys_idx, ys_rows = ys_out
                 big_grads = {}
                 for key, leaf in big_tables.items():
+                    if _TAPE_DEBUG_SKIP_REDUCE:
+                        big_grads[key] = jnp.zeros_like(leaf)
+                        continue
                     w = leaf.shape[-1]
                     idx_all = jnp.concatenate(
                         [a.reshape(-1) for a in ys_idx[key]])

@@ -65,6 +65,18 @@ def main(argv=None) -> int:
                              "builds the reference topology at reference "
                              "scale; smn-toy the CI stand-in)")
     parser.add_argument("--data-dir", type=Path, default=None)
+    parser.add_argument("--samples", type=Path, default=None,
+                        help="mapping ann pickle (NuscDataset contract with "
+                             "per-sample map_geoms polylines): train on real "
+                             "streaming clips via the full reference data "
+                             "pipeline (data/stage3_pipeline.py "
+                             "Stage3MapDataset). Distinct per-frame GT "
+                             "counts compile separate step variants.")
+    parser.add_argument("--prior-root", type=Path, default=None,
+                        help="with --samples: root holding extracted prior "
+                             "pickles; enables the prior-fusion inputs")
+    parser.add_argument("--prior-city-parts", default=None,
+                        help="with --prior-root: 'city:parts,city:parts'")
     parser.add_argument("--out", type=Path, default=Path("outputs/map"))
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval-ckpt", type=Path, default=None,
@@ -92,7 +104,45 @@ def main(argv=None) -> int:
     else:
         model = StreamMapNet(img_size=IMG_SIZE)
 
-    if args.data_dir is not None:
+    if args.samples is not None:
+        from ..data.stage3_pipeline import Stage3MapDataset
+
+        priors = voxelizer = None
+        if args.prior_root is not None:
+            from ..prior.consume import CityPriors, VoxelizePriorPoints
+
+            parts = dict(
+                (kv.split(":")[0], int(kv.split(":")[1]))
+                for kv in (args.prior_city_parts or "").split(",") if kv
+            )
+            if model.prior_pc_range is None:
+                import dataclasses
+
+                model = dataclasses.replace(
+                    model,
+                    prior_pc_range=(-model.roi_size[0] / 2,
+                                    -model.roi_size[1] / 2, -1.0,
+                                    model.roi_size[0] / 2,
+                                    model.roi_size[1] / 2, 3.0),
+                    prior_voxel_size=(0.5, 0.5, 1.0),
+                )
+            pr = list(model.prior_pc_range)
+            vs = list(model.prior_voxel_size)
+            priors = CityPriors(str(args.prior_root), parts, pr)
+            voxelizer = VoxelizePriorPoints(pc_range=pr, voxel_size=vs)
+        ds = Stage3MapDataset(args.samples, img_size=model.img_size,
+                              roi_size=model.roi_size,
+                              sample_num=model.num_points,
+                              priors=priors, voxelizer=voxelizer)
+        windows = ds.clips()
+        if not windows:
+            raise SystemExit(f"no same-scene clips in {args.samples}")
+        clips = [
+            [{k: jnp.asarray(v) for k, v in f.items()}
+             for f in ds.clip(w, pad_prior_to=4096)]
+            for w in windows
+        ]
+    elif args.data_dir is not None:
         clips = []
         for f in sorted(args.data_dir.glob("*.npz")):
             d = np.load(f)
@@ -150,6 +200,14 @@ def main(argv=None) -> int:
         return 0
 
     f0 = clips[0][0]
+
+    def _prior_kwargs(frame):
+        if "prior_feats" not in frame:
+            return {}
+        return dict(prior_feats=frame["prior_feats"],
+                    prior_coords=frame["prior_coords"],
+                    prior_valid=frame["prior_valid"])
+
     # init with the streaming branch active so the ConvGRU / query-
     # propagation params exist (frame 2+ uses them).
     bev_hw = model.bev_hw
@@ -159,7 +217,8 @@ def main(argv=None) -> int:
         prev_bev=jnp.zeros((model.embed_dim, *bev_hw)),
         prev2curr=jnp.eye(3),
         prev_queries=jnp.zeros((topk, model.embed_dim)),
-        prev_ref_pts=jnp.full((topk, model.num_points, 2), 0.5))
+        prev_ref_pts=jnp.full((topk, model.num_points, 2), 0.5),
+        **_prior_kwargs(f0))
 
     # AdamW + global-norm clip 35, the reference smn config's
     # optimizer/optimizer_config.
@@ -171,9 +230,12 @@ def main(argv=None) -> int:
 
     from ..mapping.map_head import greedy_match, select_topk_for_propagation
 
-    fwd = jax.jit(lambda v, imgs, l2i, pb, p2c, pq, pr: model.apply(
-        v, imgs, l2i, prev_bev=pb, prev2curr=p2c, prev_queries=pq,
-        prev_ref_pts=pr, train=True, mutable=["batch_stats"])[0])
+    @jax.jit
+    def fwd(v, frame, pb, pq, pr):
+        return model.apply(
+            v, frame["imgs"], frame["lidar2img"], prev_bev=pb,
+            prev2curr=frame["prev2curr"], prev_queries=pq, prev_ref_pts=pr,
+            train=True, mutable=["batch_stats"], **_prior_kwargs(frame))[0]
 
     @jax.jit
     def grad_step(variables, opt_state, clip, assignments):
@@ -194,6 +256,7 @@ def main(argv=None) -> int:
                     prev_bev=prev_bev, prev2curr=frame["prev2curr"],
                     prev_queries=prev_queries, prev_ref_pts=prev_refs,
                     train=True, mutable=["batch_stats"],
+                    **_prior_kwargs(frame),
                 )
                 losses = map_losses(out, frame["gt_lines"],
                                     frame["gt_labels"], assignment,
@@ -216,8 +279,7 @@ def main(argv=None) -> int:
         prev_queries = None
         prev_refs = None
         for frame in clip:
-            out = fwd(variables, frame["imgs"], frame["lidar2img"],
-                      prev_bev, frame["prev2curr"], prev_queries, prev_refs)
+            out = fwd(variables, frame, prev_bev, prev_queries, prev_refs)
             assignments.append(jnp.asarray(greedy_match(
                 np.asarray(out["lines"]), np.asarray(frame["gt_lines"]))))
             prev_bev = out["bev"]

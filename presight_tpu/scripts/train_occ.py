@@ -85,6 +85,20 @@ def main(argv=None) -> int:
     parser.add_argument("--ema-decay", type=float, default=0.9990)
     parser.add_argument("--ema-init-updates", type=int, default=0)
     parser.add_argument("--data-dir", type=Path, default=None)
+    parser.add_argument("--infos", type=Path, default=None,
+                        help="priorsplit infos pickle "
+                             "(create_priorsplit_infos output): train from "
+                             "real samples via the full reference data "
+                             "pipeline — image loading + ida/bda augs + "
+                             "occ GT + optional prior voxelization "
+                             "(data/stage3_pipeline.py)")
+    parser.add_argument("--prior-root", type=Path, default=None,
+                        help="with --infos: root holding "
+                             "<prior_type>/<city>/<city>-c{i}.pkl extracted "
+                             "priors; enables the prior-fusion inputs")
+    parser.add_argument("--prior-city-parts", default=None,
+                        help="with --prior-root: 'city:parts,city:parts'")
+    parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--out", type=Path, default=Path("outputs/occ"))
     parser.add_argument("--temporal", action="store_true")
     parser.add_argument("--config", default=None,
@@ -138,12 +152,68 @@ def main(argv=None) -> int:
             bev_neck=args.bev_neck,
         )
 
-    batches = (load_batches(args.data_dir) if args.data_dir
-               else [toy_batch(args.seed + i, input_size=model.input_size,
-                               grid=model.grid_config) for i in range(4)])
+    if args.infos is not None:
+        import jax.numpy as jnp2  # alias to avoid shadowing below
+
+        from ..data.stage3_pipeline import IdaAugConfig, Stage3OccDataset
+
+        priors = voxelizer = None
+        if args.prior_root is not None:
+            import dataclasses
+
+            from ..prior.consume import CityPriors, VoxelizePriorPoints
+
+            parts = dict(
+                (kv.split(":")[0], int(kv.split(":")[1]))
+                for kv in (args.prior_city_parts or "").split(",") if kv
+            )
+            if model.prior_pc_range is None:
+                # Derive the prior grid from the model's own BEV grid so
+                # toy/custom configs work without explicit prior ranges.
+                g = model.grid_config
+                model = dataclasses.replace(
+                    model,
+                    prior_pc_range=(g["x"][0], g["y"][0], g["z"][0],
+                                    g["x"][1], g["y"][1], g["z"][1]),
+                    prior_voxel_size=(g["x"][2], g["y"][2], g["z"][2]),
+                )
+            pr = list(model.prior_pc_range)
+            vs = list(model.prior_voxel_size)
+            priors = CityPriors(str(args.prior_root), parts, pr)
+            voxelizer = VoxelizePriorPoints(pc_range=pr, voxel_size=vs,
+                                            random_drop=True,
+                                            max_drop_rate=1.0)
+        ida = IdaAugConfig(input_size=tuple(model.input_size))
+        ds = Stage3OccDataset(args.infos, ida=ida, is_train=True,
+                              temporal=model.temporal,
+                              priors=priors, voxelizer=voxelizer)
+        rng_np = np.random.RandomState(args.seed)
+        order = rng_np.permutation(len(ds))
+        batches = []
+        # Materialize one epoch of batches up front (the reference's
+        # DataLoader streams; at CLI scale this keeps the loop simple and
+        # the padded prior V consistent across batches for one compile).
+        bs = args.batch_size
+        # Fixed prior-voxel padding = the voxelizer's own cap, so every
+        # batch compiles to one program (the reference's max_voxels bound).
+        pad_v = voxelizer.max_voxels if voxelizer is not None else None
+        for s in range(0, len(order) - bs + 1, bs):
+            b = ds.batch(order[s : s + bs], rng_np, pad_prior_to=pad_v)
+            batches.append({k: jnp2.asarray(v) for k, v in b.items()})
+        if not batches:
+            raise SystemExit(f"no full batches from {args.infos}")
+    else:
+        batches = (load_batches(args.data_dir) if args.data_dir
+                   else [toy_batch(args.seed + i, input_size=model.input_size,
+                                   grid=model.grid_config) for i in range(4)])
     b0 = batches[0]
     model_args = (b0["imgs"], b0["sensor2ego"], b0["cam2imgs"],
                   b0["post_rots"], b0["post_trans"], b0["bda"])
+    if "prior_feats" in b0:
+        # Prior-fusion parameters only materialize when the prior inputs
+        # are traced at init.
+        model_args = model_args + (b0["prior_feats"], b0["prior_coords"],
+                                   b0["prior_valid"])
 
     if args.eval_ckpt is not None:
         from ..utils.occ_metrics import MetricMIoU
@@ -154,10 +224,15 @@ def main(argv=None) -> int:
 
         @jax.jit
         def forward(batch):
+            prior_kwargs = {}
+            if "prior_feats" in batch:
+                prior_kwargs = dict(prior_feats=batch["prior_feats"],
+                                    prior_coords=batch["prior_coords"],
+                                    prior_valid=batch["prior_valid"])
             occ, _depth = model.apply(
                 variables, batch["imgs"], batch["sensor2ego"],
                 batch["cam2imgs"], batch["post_rots"], batch["post_trans"],
-                batch["bda"], train=False,
+                batch["bda"], train=False, **prior_kwargs,
             )
             return jnp.argmax(occ, axis=-1)
 
@@ -189,10 +264,15 @@ def main(argv=None) -> int:
     @jax.jit
     def step(variables, opt_state, ema, batch):
         def loss_fn(v):
+            prior_kwargs = {}
+            if "prior_feats" in batch:
+                prior_kwargs = dict(prior_feats=batch["prior_feats"],
+                                    prior_coords=batch["prior_coords"],
+                                    prior_valid=batch["prior_valid"])
             (occ, _depth), _mut = model.apply(
                 v, batch["imgs"], batch["sensor2ego"], batch["cam2imgs"],
                 batch["post_rots"], batch["post_trans"], batch["bda"],
-                train=True, mutable=["batch_stats"],
+                train=True, mutable=["batch_stats"], **prior_kwargs,
             )
             return occ_loss(occ, batch["voxel_semantics"],
                             batch.get("mask_camera"))

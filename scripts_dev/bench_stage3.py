@@ -79,7 +79,10 @@ def _bf16(t):
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
 
 
-def bench_occ():
+def bench_occ(variants=("fp32", "bf16", "batch4")):
+    """Returns {variant: samples/s} for the selected variants (bench.py
+    imports this for the driver-captured stage-3 rungs)."""
+    out_fps = {}
     from presight_tpu.configs.stage3_configs import occ_configs
 
     model = occ_configs["bevdet-occ-r50d-8x4-24e_wcamprior_randomdrop"]()
@@ -123,8 +126,10 @@ def bench_occ():
         leaf = out[0] if isinstance(out, tuple) else out
         return jnp.mean(leaf)
 
-    kdiff_fps("bevdet-occ r50 256x704 temporal+stereo", apply_once, imgs,
-              consts)
+    if "fp32" in variants:
+        out_fps["fp32"] = kdiff_fps(
+            "bevdet-occ r50 256x704 temporal+stereo", apply_once, imgs,
+            consts)
 
     # bf16 deployment mode: params + feature tensors in bf16 (2x MXU rate,
     # half the gather/HBM bytes); geometry (sensor2ego/cam2imgs/post_*/bda/
@@ -144,7 +149,9 @@ def bench_occ():
         leaf = out[0] if isinstance(out, tuple) else out
         return jnp.mean(leaf.astype(jnp.float32))
 
-    kdiff_fps("bevdet-occ r50 256x704 bf16", apply_bf16, imgs, consts_bf)
+    if "bf16" in variants:
+        out_fps["bf16"] = kdiff_fps("bevdet-occ r50 256x704 bf16",
+                                    apply_bf16, imgs, consts_bf)
 
     # Batch-4 throughput (the model natively carries a batch axis).
     B4 = 4
@@ -164,8 +171,11 @@ def bench_occ():
         leaf = out[0] if isinstance(out, tuple) else out
         return jnp.mean(leaf)
 
-    kdiff_fps(f"bevdet-occ r50 256x704 batch{B4} throughput", apply_once4,
-              imgs4, consts4, samples_per_app=B4)
+    if "batch4" in variants:
+        out_fps["batch4"] = kdiff_fps(
+            f"bevdet-occ r50 256x704 batch{B4} throughput", apply_once4,
+            imgs4, consts4, samples_per_app=B4)
+    return out_fps
 
 
 def _pinhole_ring(N, fx, cx, cy):
@@ -183,7 +193,9 @@ def _pinhole_ring(N, fx, cx, cy):
     return jnp.asarray(np.stack(l2i))
 
 
-def bench_map(name):
+def bench_map(name, variants=("fp32", "batch4", "bf16", "bf16_batch4")):
+    """Returns {variant: samples/s} (see bench_occ)."""
+    out_fps = {}
     from presight_tpu.configs.stage3_configs import map_configs
 
     model = map_configs[name]()
@@ -221,8 +233,10 @@ def bench_map(name):
         return jnp.mean(leaf)
 
     label = "smn" if is_smn else "raster"
-    kdiff_fps(f"{label} r50 480x800 streaming+prior", apply_once, imgs,
-              consts)
+    if "fp32" in variants:
+        out_fps["fp32"] = kdiff_fps(
+            f"{label} r50 480x800 streaming+prior", apply_once, imgs,
+            consts)
 
     # Batch-4 throughput: TPU latency at batch 1 underuses the chip; the
     # deployment-relevant number for offline/near-line perception is
@@ -235,8 +249,10 @@ def bench_map(name):
             return apply_once(c, x)
         return jnp.sum(jax.vmap(one)(xb))
 
-    kdiff_fps(f"{label} r50 480x800 batch{B} throughput", apply_batch,
-              imgs_b, consts, samples_per_app=B)
+    if "batch4" in variants:
+        out_fps["batch4"] = kdiff_fps(
+            f"{label} r50 480x800 batch{B} throughput", apply_batch,
+            imgs_b, consts, samples_per_app=B)
 
     # bf16 deployment mode (see bench_occ): params + feature tensors
     # (prev_bev, prev_queries, prior_feats) bf16, geometry fp32.
@@ -254,13 +270,18 @@ def bench_map(name):
         leaf = out["scores"] if isinstance(out, dict) else out
         return jnp.mean(leaf.astype(jnp.float32))
 
-    kdiff_fps(f"{label} r50 480x800 bf16", apply_bf16, imgs, consts_bf)
+    if "bf16" in variants:
+        out_fps["bf16"] = kdiff_fps(f"{label} r50 480x800 bf16", apply_bf16,
+                                    imgs, consts_bf)
 
     def apply_batch_bf16(c, xb):
         return jnp.sum(jax.vmap(lambda x: apply_bf16(c, x))(xb))
 
-    kdiff_fps(f"{label} r50 480x800 bf16 batch{B}", apply_batch_bf16,
-              imgs_b, consts_bf, samples_per_app=B)
+    if "bf16_batch4" in variants:
+        out_fps["bf16_batch4"] = kdiff_fps(
+            f"{label} r50 480x800 bf16 batch{B}", apply_batch_bf16,
+            imgs_b, consts_bf, samples_per_app=B)
+    return out_fps
 
 
 if __name__ == "__main__":

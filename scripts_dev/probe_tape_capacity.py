@@ -119,11 +119,14 @@ if __name__ == "__main__":
             return lax.stop_gradient(tbl)[idx]
         return _orig_gather(tbl, idx)
 
+    import presight_tpu.engine.train_step as ts
+
     for log2 in a.log2:
         for mb in a.mb:
             for mode in a.modes:
                 he._gather_rows = _nograd_gather if mode == "nograd" else _orig_gather
-                tmb = None if mode == "taped" else HUGE
+                ts._TAPE_DEBUG_SKIP_REDUCE = mode == "taped-noreduce"
+                tmb = None if mode in ("taped", "taped-noreduce") else HUGE
                 try:
                     dt, rps, loss = run(log2, mb, tmb)
                     print(f"log2={log2} mb={mb} {mode}: {dt*1e3:.1f} ms/step "
