@@ -222,10 +222,12 @@ def build(num_experts: int, log2_hashmap_size: int, num_rays: int, storage: str 
                          "grid-lean4": 16384, "grid-lean4-s64": 1024,
                          "grid-n48-cap4x": 1024,
                          "grid-n48-cap4x-p64x32": 1024,
-                         # capacity rung: per-step table-grad work scales
-                         # with microbatch COUNT; 4096 measured optimal at
-                         # log2 19-20 (PERFORMANCE.md round 4).
-                         "cap-log2-19": 4096,
+                         # capacity rung: with the TableGradTape step-end
+                         # reduction the per-microbatch table-grad cost is
+                         # gone, so the headline's 1024-ray optimum holds
+                         # at capacity too (PERFORMANCE.md round 5; round
+                         # 4's mb-4096 guidance applied to the dense path).
+                         "cap-log2-19": 1024,
                          "tpu-profile": 2048}.get(storage, 4096),
     )
     sched = ProposalUpdateSchedule(config)
@@ -325,6 +327,42 @@ def bench_config(num_experts, log2_hashmap_size, num_rays, iters=20,
     return median, rates, num_rays / median, loss
 
 
+def bench_stage3_rungs():
+    """Stage-3 inference FPS at reference scale (batch-1 fp32 — the
+    reference's own published-FPS condition, README.md:29-43 — plus the
+    occ batch-4 throughput rung that tracks the cost-volume tiling).
+    Imported from scripts_dev/bench_stage3.py so the driver-captured bench
+    and the dev script share one methodology (chained K-differencing)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_stage3", Path(__file__).parent / "scripts_dev" / "bench_stage3.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = {}
+    try:
+        occ = mod.bench_occ(variants=("fp32", "batch4"))
+        out["stage3_bevdet_occ_fps"] = round(occ["fp32"], 2)
+        out["stage3_bevdet_occ_batch4_samples_per_sec"] = round(occ["batch4"], 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"# stage3 occ bench failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
+    for name, key in (
+        ("smn_wcamprior_480_100x50_24e_randomdrop", "stage3_streammapnet_fps"),
+        ("nusc_raster_wcamprior_480_100x50_24e_randomdrop",
+         "stage3_bevformer_raster_fps"),
+    ):
+        try:
+            fps = mod.bench_map(name, variants=("fp32",))
+            out[key] = round(fps["fp32"], 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"# stage3 {name} bench failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    return out
+
+
 def main():
     results = {}
     # The full ladder runs every round (no early break — a compile flake on
@@ -334,14 +372,19 @@ def main():
     ladder = [
         # Headline at the reference's real batch size (65,536 rays/step).
         (HEADLINE, 16, 15, 65536),
+        # Fallback rung first so a headline compile flake falls back to the
+        # same-scale round-3 profile, not the capacity rung.
         ("grid-n48-cap4x", 16, 15, 65536),
+        # Deploy capacity: same architecture at tile-scale tables (2^19),
+        # sparse table-gradient scan + microbatch 4096.
+        ("cap-log2-19", 16, 19, 65536),
         ("corner", 8, 18, 4096),
     ]
     spreads = {}
     for storage, num_experts, log2, num_rays in ladder:
         try:
             big = storage in ("grid-n48-cap4x-p64x32", "grid-n48-cap4x",
-                              "grid-lean4-s64", "grid-lean4",
+                              "cap-log2-19", "grid-lean4-s64", "grid-lean4",
                               "grid-profile", "shared-profile")
             rays_per_sec, rates, step_time, loss = bench_config(
                 num_experts, log2, num_rays,
@@ -396,6 +439,14 @@ def main():
         r = spreads[headline_key]
         line["spread_min_median_max"] = [round(r[0], 1), round(r[len(r) // 2], 1),
                                          round(r[-1], 1)]
+    # Stage-3 inference rungs (VERDICT r4 item 6: regression-track the FPS
+    # table in the driver-captured bench, same median-of-3 discipline).
+    # Guarded: a stage-3 compile flake must never cost the headline line.
+    try:
+        line.update(bench_stage3_rungs())
+    except Exception as e:  # noqa: BLE001
+        print(f"# stage3 rungs failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr)
     print(json.dumps(line))
 
 

@@ -16,4 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# PRESIGHT_NIGHTLY=1 runs the nightly-marked quality arm on the attached
+# accelerator (tests/test_quality_nightly.py needs the real chip — 1500
+# iters at batch 4096 is hours on CPU); everything else stays on the
+# 8-device virtual CPU mesh.
+if not os.environ.get("PRESIGHT_NIGHTLY"):
+    jax.config.update("jax_platforms", "cpu")
