@@ -543,9 +543,15 @@ class Trainer:
                              {f"eval_{k}": v for k, v in metrics.items()}, step)
 
 
-def eval_setup(config_path: Path) -> Tuple[TrainerConfig, "Trainer"]:
+def eval_setup(config_path: Path,
+               num_devices: Optional[int] = None) -> Tuple[TrainerConfig, "Trainer"]:
     """Rebuild a trained run from its config.yml and load the latest
-    checkpoint (utils/eval_utils.py:68-110 contract)."""
+    checkpoint (utils/eval_utils.py:68-110 contract).
+
+    ``num_devices`` overrides the saved config's data-parallel width —
+    eval and prior extraction shard their ray chunks over the mesh, so a
+    run trained on one chip can still render/extract on all of a host's
+    chips (0 = every visible device)."""
     from ..configs.config_io import load_config
 
     config_path = Path(config_path)
@@ -555,6 +561,8 @@ def eval_setup(config_path: Path) -> Tuple[TrainerConfig, "Trainer"]:
     # run's provenance file untouched by mere evaluation.
     run_dir = config_path.parent
     config = dataclasses.replace(config, load_dir=run_dir)
+    if num_devices is not None:
+        config = dataclasses.replace(config, num_devices=num_devices)
     trainer = Trainer(config)
     trainer.setup(run_dir=run_dir, write_config=False)
     return config, trainer

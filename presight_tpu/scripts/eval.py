@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     parser.add_argument("--max-images", type=int, default=-1)
     parser.add_argument("--output-path", type=Path, default=None)
     parser.add_argument("--no-lpips", action="store_true")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="shard render chunks over this many chips "
+                             "(0 = all visible); overrides the run config")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -29,7 +32,8 @@ def main(argv=None) -> int:
     from ..engine.evaluator import evaluate_images
     from ..engine.trainer import eval_setup
 
-    _, trainer = eval_setup(args.run_dir / "config.yml")
+    _, trainer = eval_setup(args.run_dir / "config.yml",
+                            num_devices=args.num_devices)
     # Eval split images (falls back to train images when the split is empty,
     # e.g. train_split_fraction=1.0 as in the tile configs).
     val_out = parse(trainer.config.pipeline.dataparser, split="val")

@@ -32,13 +32,17 @@ def main(argv=None) -> int:
     parser.add_argument("--depth-type", default="depth",
                         choices=["depth", "expected_depth"])
     parser.add_argument("--no-seg-mask", action="store_true")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="shard extraction ray/point chunks over this "
+                             "many chips (0 = all visible); overrides the "
+                             "run config's data-parallel width")
     args = parser.parse_args(argv)
 
     from ..engine.trainer import eval_setup
     from ..prior.extraction import extract_voxels
 
     config_path = args.run_dir / "config.yml"
-    _, trainer = eval_setup(config_path)
+    _, trainer = eval_setup(config_path, num_devices=args.num_devices)
     out_dir = args.output_dir or args.run_dir
 
     extract_voxels(

@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--indices", type=int, nargs="*", default=[0])
     parser.add_argument("--downscale", type=float, default=1.0)
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="shard render chunks over this many chips "
+                             "(0 = all visible); overrides the run config")
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -29,7 +32,8 @@ def main(argv=None) -> int:
     from ..engine.trainer import eval_setup
     from ..utils.colormaps import apply_feature_colormap
 
-    _, trainer = eval_setup(args.run_dir / "config.yml")
+    _, trainer = eval_setup(args.run_dir / "config.yml",
+                            num_devices=args.num_devices)
     renderer = ImageRenderer(trainer.model_config, mesh=trainer.mesh)
     args.output_dir.mkdir(parents=True, exist_ok=True)
 

@@ -53,8 +53,7 @@ def consts_for(B, dtype):
     BN = B * N
     prev = jnp.asarray(rng.rand(BN, Hs, Ws, Cs).astype(np.float32)).astype(dtype)
     curr = jnp.asarray(rng.rand(BN, Hs, Ws, Cs).astype(np.float32)).astype(dtype)
-    frustum = jnp.asarray(create_frustum(
-        {"depth": (1.0, 45.0, 0.5)}, (256, 704), 4))
+    frustum = jnp.asarray(create_frustum((1.0, 45.0, 0.5), (256, 704), 4))
     k2s = jnp.asarray(np.tile(np.eye(4, dtype=np.float32), (B, N, 1, 1)))
     intr = np.array([[1266.0, 0, 352.0], [0, 1266.0, 128.0], [0, 0, 1]],
                     np.float32)
