@@ -25,12 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Scatter-output size past which the pooling scatter pre-sorts its ranks
-# (see the branch in bev_pool_v2). 64 MB sits between the measured fast
-# (42 MB, <0.1 ms/49k rows) and slow (168 MB, 3.7 ms) scatter points on
-# v5e; toy/CI grids stay on the branch-free path.
-_SORTED_POOL_MIN_BYTES = 64 * 2**20
-
 
 def bev_pool_v2(
     depth: jnp.ndarray,  # (B, N, D, H, W) depth distribution (softmaxed)
@@ -67,26 +61,9 @@ def bev_pool_v2(
 
     # weighted[b,n,d,h,w,c] = depth * feat (broadcast over d / c).
     weighted = depth[..., None] * feat[:, :, None]  # (B,N,D,H,W,C)
-    flat_w = weighted.reshape(-1, C)
-    flat_rank = rank.reshape(-1)
-    out_bytes = (num_cells + 1) * C * np.dtype(np.float32).itemsize
-    if out_bytes > _SORTED_POOL_MIN_BYTES:
-        # Large-grid regime (occ reference scale: the (B, Z, Y, X, C)
-        # scatter buffer is ~0.7 GB/batch-item): XLA's unsorted scatter
-        # falls off its fast path well before that size (PERFORMANCE.md
-        # scatter-cliff measurements), and the regression compounds with
-        # batch (the round-4 batch-4 throughput collapse). Argsorting the
-        # ranks and scatter-adding with indices_are_sorted recovers the
-        # streaming path; values differ only by float summation order.
-        order = jnp.argsort(flat_rank)
-        out = jax.ops.segment_sum(
-            flat_w[order], flat_rank[order], num_segments=num_cells + 1,
-            indices_are_sorted=True,
-        )
-    else:
-        out = jax.ops.segment_sum(
-            flat_w, flat_rank, num_segments=num_cells + 1
-        )
+    out = jax.ops.segment_sum(
+        weighted.reshape(-1, C), rank.reshape(-1), num_segments=num_cells + 1
+    )
     bev = out[:-1].reshape(B, gz, gy, gx, C)
     return jnp.transpose(bev, (0, 4, 1, 2, 3))  # (B, C, Z, Y, X)
 

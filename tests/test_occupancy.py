@@ -477,32 +477,3 @@ def test_bevdet_occ_resnet_lssfpn_trains_on_toy():
         variables, opt_state, loss = step(variables, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.98, losses
-
-
-def test_bev_pool_v2_sorted_branch_matches_oracle(monkeypatch):
-    """The large-grid sorted-scatter branch (engaged at occ reference
-    scale where the pooling buffer leaves XLA's fast scatter regime) must
-    match the loop oracle — it differs from the branch-free path only by
-    float summation order."""
-    from presight_tpu.occupancy import bev_pool as bp
-
-    monkeypatch.setattr(bp, "_SORTED_POOL_MIN_BYTES", 0)
-    rng = np.random.RandomState(3)
-    B, N, D, H, W, C = 2, 2, 5, 3, 4, 6
-    depth = rng.rand(B, N, D, H, W).astype(np.float32)
-    feat = rng.randn(B, N, H, W, C).astype(np.float32)
-    coor = (rng.rand(B, N, D, H, W, 3) * 20 - 10).astype(np.float32)
-    lb, iv, gs = [-8.0, -8.0, -1.0], [0.8, 0.8, 0.5], (20, 20, 8)
-    got = np.asarray(bp.bev_pool_v2(jnp.asarray(depth), jnp.asarray(feat),
-                                    jnp.asarray(coor), lb, iv, gs))
-    want = bev_pool_v2_reference(depth, feat, coor, lb, iv, gs)
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
-
-    # Gradients flow through the sorted path (the segment_sum transpose).
-    def loss(d, f):
-        return jnp.sum(bp.bev_pool_v2(d, f, jnp.asarray(coor), lb, iv, gs) ** 2)
-
-    gd, gf = jax.grad(loss, argnums=(0, 1))(jnp.asarray(depth),
-                                            jnp.asarray(feat))
-    assert np.isfinite(np.asarray(gd)).all() and np.abs(gd).sum() > 0
-    assert np.isfinite(np.asarray(gf)).all() and np.abs(gf).sum() > 0
