@@ -47,11 +47,11 @@ from ..ops.hash_encoding import (
 #               full-size carried accumulator. 63.9 ms per level for the
 #               same rows (20.3 ns/row): each microbatch's 196k sorted
 #               rows only touch ~37% of slots, so writes stay isolated.
-#   'buckets' — masked scatters into fast-regime sub-buffers. MEASURED
-#               SLOWER still (37.4k vs 60.5k rays/s at log2 19 mb 1024):
-#               every bucket scatter issues EVERY row (dropped rows cost
-#               the same per-row issue as kept ones), multiplying the
-#               dominant per-row cost by the bucket count.
+#               Kept as the fallback when step_end's staging would not fit.
+#   (a third variant — masked scatters into fast-regime sub-buckets — was
+#   measured strictly worse, 37.4k vs 60.5k rays/s at log2 19 mb 1024:
+#   every bucket scatter issues EVERY row, multiplying the dominant
+#   per-row cost by the bucket count. Removed.)
 _TAPE_SCATTER = "step_end"
 
 # 'step_end' staging cap: fall back to the in-scan 'sorted' strategy when
@@ -59,9 +59,6 @@ _TAPE_SCATTER = "step_end"
 # staging is ~4 GB at the deploy profile — fine next to 16 GB HBM — but a
 # larger model/batch combination must degrade gracefully, not OOM).
 _TAPE_YS_MAX_BYTES = 6 * 2**30
-
-# Bucket target for the 'buckets' strategy only.
-_TAPE_BUCKET_TARGET_BYTES = 32 * 2**20
 
 # Measurement-only switch (scripts_dev probes): skip the step-end
 # reduction (big-table grads come back as zeros) to isolate the scan
@@ -101,37 +98,13 @@ def _merge_big_tables(small_params: Dict, big: Dict[str, jnp.ndarray]) -> Dict:
     )
 
 
-def _bucket_sizes(n_rows: int, row_w: int, itemsize: int):
-    if _TAPE_SCATTER != "buckets":  # 'sorted', or 'step_end' falling back
-        return [n_rows]
-    per = max(1, _TAPE_BUCKET_TARGET_BYTES // max(row_w * itemsize, 1))
-    n_buckets = max(1, -(-n_rows // per))
-    tb = -(-n_rows // n_buckets)
-    sizes = []
-    left = n_rows
-    while left > 0:
-        sizes.append(min(tb, left))
-        left -= sizes[-1]
-    return sizes
-
-
-def _scatter_rows_into_buckets(buckets, idx: jnp.ndarray, rows: jnp.ndarray):
-    """Scatter-add cotangent ``rows`` at flat table indices ``idx`` into the
-    carried accumulator (see _TAPE_SCATTER for the strategy trade-off)."""
-    if len(buckets) == 1:
-        acc = buckets[0]
-        order = jnp.argsort(idx)
-        return [acc.at[idx[order]].add(rows[order], indices_are_sorted=True)]
-    out = []
-    lo = 0
-    for acc in buckets:
-        tb = acc.shape[0]
-        local = idx - lo
-        ok = (local >= 0) & (local < tb)
-        local = jnp.where(ok, local, tb)
-        out.append(acc.at[local].add(rows, mode="drop"))
-        lo += tb
-    return out
+def _scatter_rows_sorted(acc: jnp.ndarray, idx: jnp.ndarray,
+                         rows: jnp.ndarray) -> jnp.ndarray:
+    """In-place sorted scatter-add of cotangent ``rows`` at flat table
+    indices ``idx`` into the carried accumulator (the 'sorted' fallback
+    strategy — see _TAPE_SCATTER)."""
+    order = jnp.argsort(idx)
+    return acc.at[idx[order]].add(rows[order], indices_are_sorted=True)
 
 
 class TrainState(NamedTuple):
@@ -409,10 +382,10 @@ def _make_split_train_step(
             step_end = (_TAPE_SCATTER == "step_end"
                         and ys_bytes <= _TAPE_YS_MAX_BYTES)
 
-            def _reduce_captures(buckets, idx_list, rows_list):
+            def _reduce_captures(acc, idx_list, rows_list):
                 for idx_c, rows_c in zip(idx_list, rows_list):
-                    buckets = _scatter_rows_into_buckets(buckets, idx_c, rows_c)
-                return buckets
+                    acc = _scatter_rows_sorted(acc, idx_c, rows_c)
+                return acc
 
             def body(carry, xs):
                 grads_acc, tbl_acc, total_acc, losses_acc, mse_acc = carry
@@ -435,9 +408,7 @@ def _make_split_train_step(
 
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, small_params)
             zero_tbl = {} if step_end else {
-                key: [jnp.zeros((n, leaf.shape[-1]), leaf.dtype)
-                      for n in _bucket_sizes(leaf.shape[0], leaf.shape[-1],
-                                             leaf.dtype.itemsize)]
+                key: jnp.zeros_like(leaf)
                 for key, leaf in big_tables.items()
             }
             zero_losses = jax.tree_util.tree_map(
@@ -472,10 +443,7 @@ def _make_split_train_step(
                         .add(rows_all[order], indices_are_sorted=True)
                     ) * inv
             else:
-                big_grads = {
-                    key: jnp.concatenate(bkts, axis=0) * inv
-                    for key, bkts in tbl_acc.items()
-                }
+                big_grads = {key: acc * inv for key, acc in tbl_acc.items()}
             grads = _merge_big_tables(
                 jax.tree_util.tree_map(lambda g: g * inv, g_small_acc),
                 big_grads,
