@@ -319,10 +319,11 @@ def _make_split_train_step(
             # take the branch above and compile to the identical program).
             # Each microbatch's big-table gather runs through a
             # TableGradTape so its cotangent comes out as explicit
-            # (indices, rows) pairs, scatter-added into a bucketed
-            # accumulator the scan carries in place of a dense (T, F)
-            # gradient — no per-microbatch dense zeros, no full-table adds,
-            # and every scatter output stays in XLA's fast regime.
+            # (indices, rows) pairs; the scan emits them as stacked
+            # outputs and ONE global argsort + sorted scatter per leaf
+            # reduces them at step end (or, when that staging would not
+            # fit, an in-scan sorted scatter into a carried accumulator).
+            # See _TAPE_SCATTER for the measured trade-offs.
             chunked = {
                 key: v.reshape(k, micro, *v.shape[1:]) for key, v in batch.items()
             }
