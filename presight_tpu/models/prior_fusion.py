@@ -39,9 +39,7 @@ def formulate_voxels(
                      prior_feats.dtype)
     dump = jnp.array([rx, ry, rz], jnp.int32)
     idx = jnp.where(valid[:, None], coords, dump[None, :])
-    grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(
-        prior_feats.astype(jnp.float32)
-    )
+    grid = grid.at[idx[:, 0], idx[:, 1], idx[:, 2]].set(prior_feats)
     return grid[:rx, :ry, :rz]
 
 
