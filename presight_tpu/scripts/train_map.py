@@ -84,6 +84,11 @@ def main(argv=None) -> int:
                              "training (the tools/dist_test.sh analog): "
                              "streaming forward over every clip, then "
                              "chamfer-AP (mapping/vector_eval.py)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 deployment mode for --eval-ckpt: params "
+                             "+ image/BEV/query feature tensors in bf16, "
+                             "geometry (lidar2img, prev2curr, ref points) "
+                             "fp32 (PERFORMANCE.md round 5)")
     args = parser.parse_args(argv)
 
     import jax
@@ -161,6 +166,9 @@ def main(argv=None) -> int:
 
         with open(args.eval_ckpt, "rb") as f:
             variables = pickle.load(f)["params"]
+        if args.bf16:
+            from ..utils.deploy import bf16_cast
+            variables = bf16_cast(variables)
 
         fwd_eval = jax.jit(lambda v, imgs, l2i, pb, p2c, pq, pr: model.apply(
             v, imgs, l2i, prev_bev=pb, prev2curr=p2c, prev_queries=pq,
@@ -171,7 +179,14 @@ def main(argv=None) -> int:
             prev_bev = prev_queries = prev_refs = None
             for fi, frame in enumerate(clip):
                 token = f"clip{ci}-f{fi}"
-                out = fwd_eval(variables, frame["imgs"], frame["lidar2img"],
+                imgs = frame["imgs"]
+                if args.bf16:
+                    # Feature tensors in bf16; lidar2img/prev2curr and the
+                    # propagated reference points stay fp32 (geometry).
+                    imgs = imgs.astype(jnp.bfloat16)
+                    if prev_refs is not None:
+                        prev_refs = prev_refs.astype(jnp.float32)
+                out = fwd_eval(variables, imgs, frame["lidar2img"],
                                prev_bev, frame["prev2curr"], prev_queries,
                                prev_refs)
                 prev_bev = out["bev"]
@@ -180,11 +195,14 @@ def main(argv=None) -> int:
                 # Per-query foreground probability with the background slot
                 # appended, the same padding the loss applies.
                 prob = jax.nn.softmax(
-                    jnp.pad(out["scores"], ((0, 0), (0, 1))), axis=-1,
+                    jnp.pad(out["scores"].astype(jnp.float32),
+                            ((0, 0), (0, 1))), axis=-1,
                 )[:, :-1]
                 labels = np.asarray(jnp.argmax(prob, axis=-1))
                 scores = np.asarray(jnp.max(prob, axis=-1))
-                lines = np.asarray(out["lines"])
+                # f32 at the numpy boundary: VectorEvaluate is pure numpy
+                # and bf16 (ml_dtypes) arrays don't mix into its math.
+                lines = np.asarray(out["lines"].astype(jnp.float32))
                 results[token] = {"vectors": list(lines),
                                   "scores": list(scores),
                                   "labels": list(labels)}

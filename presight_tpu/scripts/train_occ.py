@@ -121,6 +121,10 @@ def main(argv=None) -> int:
                              "training (the tools/dist_test.sh analog): "
                              "forward every batch, report per-class IoU + "
                              "mIoU (utils/occ_metrics.MetricMIoU)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 deployment mode for --eval-ckpt: params "
+                             "+ image/prior feature tensors in bf16, "
+                             "geometry fp32 (PERFORMANCE.md round 5)")
     parser.add_argument("--eval-params", choices=["ema", "raw"],
                         default="ema",
                         help="which weights to evaluate; the reference's "
@@ -221,16 +225,27 @@ def main(argv=None) -> int:
         with open(args.eval_ckpt, "rb") as f:
             ckpt = pickle.load(f)
         variables = ckpt["ema"] if args.eval_params == "ema" else ckpt["params"]
+        if args.bf16:
+            from ..utils.deploy import bf16_cast
+            variables = bf16_cast(variables)
 
         @jax.jit
         def forward(batch):
+            imgs = batch["imgs"]
             prior_kwargs = {}
             if "prior_feats" in batch:
                 prior_kwargs = dict(prior_feats=batch["prior_feats"],
                                     prior_coords=batch["prior_coords"],
                                     prior_valid=batch["prior_valid"])
+            if args.bf16:
+                # Feature tensors only; sensor2ego/cam2imgs/post_rots/
+                # post_trans/bda and prior_coords are geometry and stay fp32.
+                imgs = imgs.astype(jnp.bfloat16)
+                if prior_kwargs:
+                    prior_kwargs["prior_feats"] = (
+                        prior_kwargs["prior_feats"].astype(jnp.bfloat16))
             occ, _depth = model.apply(
-                variables, batch["imgs"], batch["sensor2ego"],
+                variables, imgs, batch["sensor2ego"],
                 batch["cam2imgs"], batch["post_rots"], batch["post_trans"],
                 batch["bda"], train=False, **prior_kwargs,
             )

@@ -226,6 +226,10 @@ def test_train_map_cli(tmp_path):
     # over the clips and reports chamfer-AP.
     assert main(["--iters", "2", "--out", str(tmp_path),
                  "--eval-ckpt", str(ckpt)]) == 0
+    # bf16 deployment mode: params + feature tensors bf16, geometry fp32
+    # (the bench-measured deploy lever, PERFORMANCE.md round 5).
+    assert main(["--iters", "2", "--out", str(tmp_path),
+                 "--eval-ckpt", str(ckpt), "--bf16"]) == 0
 
 
 def test_raster_evaluate_iou():

@@ -358,6 +358,10 @@ def test_train_occ_cli(tmp_path):
     # dist_test.sh analog: eval-from-checkpoint reports mIoU and exits 0.
     assert main(["--iters", "3", "--out", str(tmp_path),
                  "--eval-ckpt", str(ckpt)]) == 0
+    # bf16 deployment mode: params + feature tensors bf16, geometry fp32
+    # (the bench-measured deploy lever, PERFORMANCE.md round 5).
+    assert main(["--iters", "3", "--out", str(tmp_path),
+                 "--eval-ckpt", str(ckpt), "--bf16"]) == 0
 
 
 def test_bevdet_occ_crossattn_fusion(occ_model):
