@@ -252,7 +252,7 @@ def param_count(params) -> int:
 
 def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = False,
                 seed: int = 42, experts: int = 0, batch: int = 0,
-                data_dir: Path = None):
+                data_dir: Path = None, save_every: int = 0):
     from ..configs.method_configs import method_configs
     from ..engine.evaluator import evaluate_images
     from ..engine.trainer import Trainer, eval_setup
@@ -294,7 +294,7 @@ def run_variant(storage: str, iters: int, out_root: Path, eval_only: bool = Fals
         # staging them once (cached across arms/seeds in-process) keeps
         # the gate device-bound instead of host-link-bound.
         device_ray_store_mb=2048,
-        steps_per_save=max(iters, 100),
+        steps_per_save=save_every if save_every else max(iters, 100),
         steps_per_eval_batch=0,
         steps_per_eval_image=10 ** 9,
         seed=seed,
@@ -343,6 +343,10 @@ def main(argv=None) -> int:
                         help="generate/use the harder synthetic fixture "
                              "(4 scenes x 16 frames, larger images) under "
                              "data/synthetic_hard")
+    parser.add_argument("--save-every", type=int, default=0,
+                        help="checkpoint every N steps during study training "
+                             "(0 = only at the end) — insurance for "
+                             "long-horizon arms against interrupted runs")
     parser.add_argument("--dense-fixture", action="store_true",
                         help="generate/use the dense-texture fixture (4 "
                              "scenes x 16 frames, 90x156, high-frequency "
@@ -387,7 +391,7 @@ def main(argv=None) -> int:
             rows.append(run_variant(
                 storage, args.iters, args.out_root, args.eval_only,
                 seed=seed, experts=args.experts, batch=args.batch,
-                data_dir=data_dir,
+                data_dir=data_dir, save_every=args.save_every,
             ))
             r = rows[-1]
             print(f"    -> psnr={r['psnr']:.2f} ssim={r['ssim']:.3f} "
