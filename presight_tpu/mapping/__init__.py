@@ -10,6 +10,7 @@ chamfer-distance AP evaluator (datasets/evaluation/vector_eval.py).
 
 from .bev_encoder import BEVEncoder
 from .conv_gru import ConvGRU, warp_bev
+from .inference import sharded_streams_apply
 from .map_head import MapDetectorHead, map_losses
 from .stream_mapnet import RasterMapper, StreamMapNet, raster_loss
 from .vector_eval import (VectorEvaluate, average_precision, chamfer_distance,
@@ -19,5 +20,5 @@ __all__ = [
     "BEVEncoder", "ConvGRU", "warp_bev", "MapDetectorHead", "map_losses",
     "StreamMapNet", "RasterMapper", "raster_loss", "VectorEvaluate",
     "average_precision", "chamfer_distance", "instance_match",
-    "interp_fixed_num", "raster_evaluate",
+    "interp_fixed_num", "raster_evaluate", "sharded_streams_apply",
 ]

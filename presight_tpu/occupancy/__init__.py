@@ -10,6 +10,8 @@ occupancy CE loss (bevdet_occ.py:55-72) and evaluated with Occ3D mIoU
 
 from .bev_pool import bev_pool_v2
 from .bevdet_occ import BEVDetOcc, occ_loss
+from .inference import mapped_apply, sharded_apply
 from .view_transformer import LSSViewTransformer
 
-__all__ = ["bev_pool_v2", "BEVDetOcc", "occ_loss", "LSSViewTransformer"]
+__all__ = ["bev_pool_v2", "BEVDetOcc", "occ_loss", "LSSViewTransformer",
+           "mapped_apply", "sharded_apply"]

@@ -98,12 +98,36 @@ def main():
 
         return apply_mapped
 
-    kdiff_fps("occ b4 native (baseline)", apply_native, imgs4, consts4,
-              samples_per_app=B4)
-    kdiff_fps("occ b4 = lax.map 4 x b1", make_mapped(1), imgs4, consts4,
-              samples_per_app=B4)
-    kdiff_fps("occ b4 = lax.map 2 x b2", make_mapped(2), imgs4, consts4,
-              samples_per_app=B4)
+    def apply_shipped(c, x):
+        # The shipped deployment composition (occupancy/inference.py);
+        # unlike the inline arms above it carries ALL model outputs
+        # through the map — the honest deployed graph.
+        from presight_tpu.occupancy import mapped_apply
+
+        v, s2e_, c2i_, pr_, pt_, bda_, kw = c
+        out = mapped_apply(model, v, (x, s2e_, c2i_, pr_, pt_, bda_), kw,
+                           chunk_size=1)
+        leaf = out[0] if isinstance(out, tuple) else out
+        return jnp.mean(leaf)
+
+    import os
+    arms = set(filter(None, os.environ.get("OCC_ARMS", "").split(",")))
+
+    def want(name):
+        return not arms or name in arms
+
+    if want("native"):
+        kdiff_fps("occ b4 native (baseline)", apply_native, imgs4, consts4,
+                  samples_per_app=B4)
+    if want("map1"):
+        kdiff_fps("occ b4 = lax.map 4 x b1", make_mapped(1), imgs4, consts4,
+                  samples_per_app=B4)
+    if want("map2"):
+        kdiff_fps("occ b4 = lax.map 2 x b2", make_mapped(2), imgs4, consts4,
+                  samples_per_app=B4)
+    if want("shipped"):
+        kdiff_fps("occ b4 shipped mapped_apply(chunk=1)", apply_shipped,
+                  imgs4, consts4, samples_per_app=B4)
 
 
 if __name__ == "__main__":

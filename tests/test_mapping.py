@@ -554,3 +554,49 @@ def test_fused_sca_matches_per_cam_msdeform():
     over_o = jax.tree_util.tree_leaves(inter_o["intermediates"])
     k_eff = int(np.ceil(Q * (k_small / Q)))
     assert int(over_o[0]) == int(counts.max()) - k_eff > 0
+
+
+def test_sharded_streams_apply_matches_sequential(smn_inputs):
+    """Scene-parallel mesh inference (mapping/inference.py): two streams
+    advanced one frame with scenes sharded over a 2-device mesh must match
+    the per-scene sequential applies, including streaming state."""
+    from presight_tpu.mapping import sharded_streams_apply
+
+    imgs, lidar2img, *_ = smn_inputs
+    model = StreamMapNet(bev_hw=(10, 20), roi_size=(60.0, 30.0),
+                         img_size=(32, 64), embed_dim=32, num_queries=12,
+                         num_points=10)
+    prev_bev0 = jnp.zeros((32, 10, 20))
+    params = model.init(jax.random.PRNGKey(0), imgs, lidar2img,
+                        prev_bev=prev_bev0, prev2curr=jnp.eye(3),
+                        prev_queries=jnp.zeros((5, 32)))
+
+    # Two scenes: same cameras, different frames and streaming state.
+    rng = np.random.RandomState(11)
+    imgs_s = jnp.asarray(np.stack([np.asarray(imgs),
+                                   rng.rand(*imgs.shape).astype(np.float32)]))
+    l2i_s = jnp.asarray(np.stack([np.asarray(lidar2img)] * 2))
+    prev_bev = jnp.asarray(
+        rng.randn(2, 32, 10, 20).astype(np.float32) * 0.1)
+    prev2curr = jnp.asarray(np.stack([
+        np.eye(3, dtype=np.float32),
+        np.array([[1, 0, 0.5], [0, 1, 0.0], [0, 0, 1]], np.float32)]))
+    prev_q = jnp.asarray(rng.randn(2, 5, 32).astype(np.float32) * 0.1)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    out = sharded_streams_apply(
+        model, params, (imgs_s, l2i_s),
+        dict(prev_bev=prev_bev, prev2curr=prev2curr, prev_queries=prev_q),
+        mesh=mesh)
+    for s in range(2):
+        ref, _ = model.apply(params, imgs_s[s], l2i_s[s],
+                             prev_bev=prev_bev[s], prev2curr=prev2curr[s],
+                             prev_queries=prev_q[s],
+                             mutable=["batch_stats"])
+        for key in ("scores", "lines", "bev", "queries"):
+            np.testing.assert_allclose(
+                np.asarray(out[key][s]), np.asarray(ref[key]),
+                rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError):
+        sharded_streams_apply(model, params, (imgs_s[:1], l2i_s[:1]),
+                              mesh=mesh)

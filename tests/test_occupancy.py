@@ -481,3 +481,56 @@ def test_bevdet_occ_resnet_lssfpn_trains_on_toy():
         variables, opt_state, loss = step(variables, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.98, losses
+
+
+def _batched_inputs(B=4, seed=3):
+    """B-sample toy batch matching the occ_model fixture's architecture."""
+    rng = np.random.RandomState(seed)
+    imgs = jnp.asarray(rng.rand(B, 2, 3, *INPUT_SIZE).astype(np.float32))
+    geo = _geometry(B, 2, seed=seed)
+    V = 64
+    prior_feats = jnp.asarray(rng.randn(B, V, 68).astype(np.float32))
+    prior_coords = jnp.asarray(
+        np.stack([rng.randint(0, 8, (B, V)), rng.randint(0, 20, (B, V)),
+                  rng.randint(0, 20, (B, V))], -1).astype(np.int32))
+    prior_valid = jnp.asarray(rng.rand(B, V) > 0.2)
+    return (imgs, *geo, prior_feats, prior_coords, prior_valid)
+
+
+def test_mapped_apply_matches_native_batch(occ_model):
+    """The lax.map composition (single-chip batch-throughput deployment
+    lever, PERFORMANCE.md round 5) must reproduce the natively batched
+    graph's outputs for every chunk size that divides the batch."""
+    from presight_tpu.occupancy import mapped_apply
+
+    model, params, _ = occ_model
+    args = _batched_inputs(B=4)
+    occ_native, depth_native = model.apply(params, *args)
+    for chunk in (1, 2):
+        occ_m, depth_m = mapped_apply(model, params, args, chunk_size=chunk)
+        assert occ_m.shape == occ_native.shape
+        assert depth_m.shape == depth_native.shape
+        np.testing.assert_allclose(np.asarray(occ_m), np.asarray(occ_native),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(depth_m),
+                                   np.asarray(depth_native),
+                                   rtol=2e-4, atol=2e-4)
+    with pytest.raises(ValueError):
+        mapped_apply(model, params, args, chunk_size=3)
+
+
+def test_sharded_apply_matches_native_batch(occ_model):
+    """Batch-sharded mesh inference (the monotone multi-chip throughput
+    path) must match the single-device batched apply."""
+    from presight_tpu.occupancy import sharded_apply
+
+    model, params, _ = occ_model
+    args = _batched_inputs(B=4)
+    occ_native, depth_native = model.apply(params, *args)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("data",))
+    occ_s, depth_s = sharded_apply(model, params, args, mesh=mesh)
+    assert occ_s.sharding.spec == jax.sharding.PartitionSpec("data")
+    np.testing.assert_allclose(np.asarray(occ_s), np.asarray(occ_native),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(depth_s), np.asarray(depth_native),
+                               rtol=2e-4, atol=2e-4)
